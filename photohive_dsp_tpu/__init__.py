@@ -1,0 +1,101 @@
+"""photohive_dsp_tpu — TPU-native image-DSP feature-extraction framework.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of the PhotoHive_DSP
+C/ctypes library (reference mounted at /root/reference): per-image
+brightness/contrast statistics, average saturation, HSV-quantized color
+palette, Laplacian-variance crop sharpness, and the 2-D-FFT polar blur
+profile with directional blur vectors — as one fused, jit-compiled,
+batchable, mesh-shardable pipeline.
+
+Public API (parity with reference __init__.py / core.py):
+    get_report(image, salient_characters=None, **knobs) -> Report
+    set_bounding_boxes(list_of_dicts) -> crop-box arrays
+    ReportConfig, Report, full_report (the jittable pipeline)
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+from .config import (MAX_CROP_BOXES, NUM_BLUR_VECTORS, ReportConfig,
+                     check_image_dims)
+from .models.pipeline import (ReportData, ReportTables, full_report,
+                              jitted_full_report)
+from .report import Report
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "ReportConfig", "Report", "ReportData", "ReportTables", "full_report",
+    "get_report", "set_bounding_boxes", "__version__",
+]
+
+
+def set_bounding_boxes(bounding_boxes: Sequence[dict])\
+        -> Tuple[np.ndarray, np.ndarray]:
+    """Build the fixed-shape crop-box tensors.
+
+    Same input contract as the reference set_bounding_boxes (core.py:489-515):
+    a list of dicts with 'top', 'bottom', 'left', 'right'; at most
+    MAX_CROP_BOXES boxes.
+    Returns (boxes (10, 4) int32, valid (10,) bool).
+    """
+    n = len(bounding_boxes)
+    if n > MAX_CROP_BOXES:
+        raise ValueError(f"at most {MAX_CROP_BOXES} bounding boxes supported")
+    boxes = np.zeros((MAX_CROP_BOXES, 4), np.int32)
+    valid = np.zeros((MAX_CROP_BOXES,), bool)
+    for i, bb in enumerate(bounding_boxes):
+        boxes[i] = (bb["top"], bb["bottom"], bb["left"], bb["right"])
+        valid[i] = True
+    return boxes, valid
+
+
+def _image_to_planar(image) -> np.ndarray:
+    """PIL image or HxWx3 uint8/float array -> (3, H, W) float32 in [0,1]."""
+    arr = np.asarray(image)
+    if arr.ndim != 3 or arr.shape[2] < 3:
+        raise ValueError("expected an RGB image (H, W, 3)")
+    arr = arr[:, :, :3]
+    if arr.dtype == np.uint8:
+        arr = arr.astype(np.float32) / 255.0
+    else:
+        arr = arr.astype(np.float32)
+    return np.moveaxis(arr, -1, 0)
+
+
+def get_report(image, salient_characters=None, *,
+               config: Optional[ReportConfig] = None,
+               **knobs) -> Optional[Report]:
+    """Compute the full photo report for one image.
+
+    ``image`` is a PIL image or an (H, W, 3) array.  ``salient_characters``
+    is the output of set_bounding_boxes (or None).  Extra keyword arguments
+    are ReportConfig fields (h_partitions=18, radius_partitions=40, ...),
+    mirroring the reference get_report signature (core.py:442-448).
+
+    Returns None (with a message) on invalid input, like the reference's
+    NULL-report path (core.py:476-478, src/utilities.c:64-87).
+    """
+    cfg = config if config is not None else ReportConfig(**knobs)
+    cfg.validate()
+    rgb = _image_to_planar(image)
+    _, height, width = rgb.shape
+    ok, msg = check_image_dims(height, width)
+    if not ok:
+        print(f"Failed to get report data: {msg}")
+        return None
+
+    if salient_characters is None:
+        boxes = np.zeros((MAX_CROP_BOXES, 4), np.int32)
+        valid = np.zeros((MAX_CROP_BOXES,), bool)
+        num_boxes = 0
+    else:
+        boxes, valid = salient_characters
+        num_boxes = int(valid.sum())
+
+    fn, tables = jitted_full_report(height, width, cfg)
+    data = fn(rgb, boxes, valid, tables)
+    return Report(data, height, width, num_boxes=num_boxes, config=cfg)

@@ -1,0 +1,92 @@
+"""Elementwise colorspace transforms (VPU-bound; XLA fuses these into one pass).
+
+Semantics replicate the reference exactly, including its clamps and branch
+order:
+  * rgb->hsv: reference src/image_processing.c:372-417 (textbook max/min/delta
+    with S and V clamped to 0.999999 and hue wrapped into [0, 360)).
+  * rgb->pgm luma: reference src/image_processing.c:505-512.
+  * decimation: reference src/image_processing.c:344-366 — note the reference
+    advances rows by (N-1)*width per output row (not N*width), so output row y
+    samples input row y*(N-1); we reproduce that faithfully.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..config import MAX_SATURATION, MAX_VALUE
+
+
+def rgb_to_hsv(r: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray):
+    """Per-pixel HSV with the reference's branch order and clamps.
+
+    Returns (h, s, v) arrays; h in [0, 360), s and v in [0, 0.999999].
+    """
+    mx = jnp.maximum(jnp.maximum(r, g), b)
+    mn = jnp.minimum(jnp.minimum(r, g), b)
+    delta = mx - mn
+    safe = jnp.where(delta == 0, 1.0, delta)
+    # Branch order matters on ties: delta==0, then max==r, then max==g, else b
+    # (reference src/image_processing.c:394-397).
+    h = jnp.where(
+        delta == 0,
+        0.0,
+        jnp.where(
+            mx == r,
+            60.0 * ((g - b) / safe),
+            jnp.where(mx == g, 60.0 * (2.0 + (b - r) / safe),
+                      60.0 * (4.0 + (r - g) / safe)),
+        ),
+    )
+    # Range wrap: a single +-360 suffices (h is in (-60, 360) by construction;
+    # reference loops, src/image_processing.c:398-404).
+    h = jnp.where(h < 0, h + 360.0, h)
+    h = jnp.where(h > 360, h - 360.0, h)
+    v = jnp.where(mx == 1.0, jnp.asarray(MAX_VALUE, mx.dtype), mx)
+    safe_mx = jnp.where(mx == 0, 1.0, mx)
+    s = jnp.where(
+        mx == 0,
+        0.0,
+        jnp.where(delta == mx, jnp.asarray(MAX_SATURATION, mx.dtype),
+                  delta / safe_mx),
+    )
+    return h, s, v
+
+
+def rgb_to_pgm(r: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """BT.601 luma (reference src/image_processing.c:509)."""
+    return 0.299 * r + 0.587 * g + 0.114 * b
+
+
+def hsv_to_rgb(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray):
+    """Inverse transform (reference src/image_processing.c:423-468)."""
+    c = v * s
+    x = c * (1.0 - jnp.abs(jnp.mod(h / 60.0, 2.0) - 1.0))
+    m = v - c
+    sector = jnp.clip(jnp.floor_divide(h, 60.0).astype(jnp.int32), 0, 5)
+    zeros = jnp.zeros_like(c)
+    rs = jnp.select(
+        [sector == 0, sector == 1, sector == 2, sector == 3, sector == 4],
+        [c, x, zeros, zeros, x], default=c)
+    gs = jnp.select(
+        [sector == 0, sector == 1, sector == 2, sector == 3, sector == 4],
+        [x, c, c, x, zeros], default=zeros)
+    bs = jnp.select(
+        [sector == 0, sector == 1, sector == 2, sector == 3, sector == 4],
+        [zeros, zeros, x, c, c], default=x)
+    return rs + m, gs + m, bs + m
+
+
+def downsample_rgb(rgb: jnp.ndarray, rate: int) -> jnp.ndarray:
+    """Stride decimation with the reference's row-stride quirk.
+
+    rgb: (3, H, W).  Output row y takes input row y*(rate-1); output column x
+    takes input column x*rate (reference src/image_processing.c:351-363).
+    """
+    if rate <= 1:
+        return rgb
+    _, h, w = rgb.shape
+    new_h, new_w = h // rate, w // rate
+    rows = jnp.arange(new_h) * (rate - 1)
+    cols = jnp.arange(new_w) * rate
+    return rgb[:, rows][:, :, cols]

@@ -1,0 +1,306 @@
+"""HSV-grid color quantization ("octree") -> fixed-shape color palette.
+
+reference: src/color_quantization.c.  The reference is a linked-list pixel
+bucketing structure; the TPU-native reformulation keeps every step as
+fixed-shape dense math:
+
+  1. **Cell assignment** (arm_octree, :108-161): per-pixel integer cell id
+     over C = h*s*v + v + 1 cells.  The reference's gray-cell index contains
+     a premature int cast — ``(int)(v - black)`` is always 0 for v<1 — so all
+     gray pixels land in the *first* gray cell; reproduced faithfully.
+  2. **Cell histogram**: chunked one-hot matmul (MXU) instead of scatter-add.
+  3. **Saliency ordering** (find_valid_octree_parents, :174-203 +
+     custom_sort src/utilities.c:132-153): the reference insertion-sorts cell
+     ids with the comparator ``(int)(saliency_b - saliency_a)`` — a
+     *margin-1, non-transitive* float32 comparison.  We emulate the insertion
+     sort exactly with a fori_loop that computes each element's final bubble
+     position via a vectorized trailing-run scan (O(C) work per step, C=112
+     for default config).  All saliency arithmetic is float32, matching the C
+     ``float`` type (src/color_quantization.c:588-595).
+  4. **Coverage selection**: cumulative sum of sorted quantities against the
+     integer pixel-goal (:184-199).
+  5. **Nearest-parent regrouping** (group_irregular_pixels, :342-479): each
+     non-parent cell maps to the nearest valid parent under the cell-center
+     distance heuristic.  Exact float64 distance *ties* are detected via the
+     precomputed integer rank table (ops/geometry.py); tied cells fall back
+     to per-pixel Euclidean assignment among the tied parents — the intended
+     semantics of get_distance_pixel_to_parent (:303-311; the C function is
+     missing its return statement, i.e. undefined behavior, so we implement
+     the distance it computes).
+  6. **Palette averaging** (calculate_avg_hsv, :510-576): per-parent means
+     with the hue-rotation offset trick (rotate by 180-parent_h, wrap, mean,
+     rotate back), computed as a single chunked one-hot matmul pass over
+     pixels producing per-parent [sum wrapped-hue, sum s, sum v, count].
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ReportConfig
+from .geometry import octree_geometry
+
+_CHUNK = 1 << 16  # pixels per one-hot matmul chunk
+
+
+class OctreeTables(NamedTuple):
+    """Device-resident quantizer constants (see geometry.OctreeGeometry)."""
+
+    centers: jnp.ndarray      # (C, 3) f32 cell centers (h, s, v)
+    s_v_f32: jnp.ndarray      # (C,) f32 center s*v as C computes it
+    dist_ranks: jnp.ndarray   # (C, C) int32 dense rank of exact distances
+
+    @classmethod
+    def for_config(cls, cfg: ReportConfig) -> "OctreeTables":
+        geom = octree_geometry(cfg)
+        return cls(
+            centers=jnp.asarray(geom.centers, dtype=jnp.float32),
+            s_v_f32=jnp.asarray(geom.s_v_f32),
+            dist_ranks=jnp.asarray(geom.dist_ranks),
+        )
+
+
+class PaletteResult(NamedTuple):
+    """Fixed-shape palette: first n_valid rows are real entries, in the
+    reference's valid_parents (saliency) order."""
+
+    hsv: jnp.ndarray          # (C, 3) f32 average H, S, V per palette slot
+    percentages: jnp.ndarray  # (C,) f32 fraction of image pixels
+    n_valid: jnp.ndarray      # () int32 number of real palette entries
+    parent_ids: jnp.ndarray   # (C,) int32 cell id backing each slot
+
+
+def assign_cells(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray,
+                 cfg: ReportConfig) -> jnp.ndarray:
+    """Per-pixel octree cell id (reference src/color_quantization.c:127-145)."""
+    black = cfg.black_thresh
+    gray = cfg.gray_thresh
+    lv = cfg.cell_Lv
+    ls = cfg.cell_Ls
+    lh = cfg.cell_Lh
+    vi = jnp.clip((v - black) / lv, 0, cfg.v_partitions - 1e-6).astype(jnp.int32)
+    si = jnp.clip((s - gray) / ls, 0, cfg.s_partitions - 1e-6).astype(jnp.int32)
+    hi = jnp.clip(h / lh, 0, cfg.h_partitions - 1e-6).astype(jnp.int32)
+    color_id = (hi * cfg.s_partitions + si) * cfg.v_partitions + vi
+    # Gray: the premature int cast in the reference (:136) zeroes the value
+    # index, so every gray pixel goes to the first gray cell.
+    out = jnp.where(
+        v < black,
+        cfg.black_id,
+        jnp.where(s < gray, cfg.gray_start, color_id),
+    )
+    return out.astype(jnp.int32)
+
+
+def _chunked_onehot_sums(ids_flat: jnp.ndarray, vals_flat: jnp.ndarray,
+                         num_cells: int) -> jnp.ndarray:
+    """sum_{p: ids[p]==c} vals[p, :] as chunked (chunk x C)^T @ (chunk x K).
+
+    ids_flat: (P,) int32 in [0, num_cells); vals_flat: (P, K) f32.
+    Returns (num_cells, K) f32.  Scatter-free: each chunk builds a one-hot
+    matrix in registers and contracts it on the MXU.
+    """
+    p = ids_flat.shape[0]
+    k = vals_flat.shape[1]
+    pad = (-p) % _CHUNK
+    if pad:
+        ids_flat = jnp.concatenate(
+            [ids_flat, jnp.full((pad,), num_cells, jnp.int32)])
+        vals_flat = jnp.concatenate(
+            [vals_flat, jnp.zeros((pad, k), vals_flat.dtype)])
+    n_chunks = ids_flat.shape[0] // _CHUNK
+    ids_c = ids_flat.reshape(n_chunks, _CHUNK)
+    vals_c = vals_flat.reshape(n_chunks, _CHUNK, k)
+    iota = jnp.arange(num_cells, dtype=jnp.int32)
+
+    def body(acc, chunk):
+        ids, vals = chunk
+        onehot = (ids[:, None] == iota[None, :]).astype(vals.dtype)
+        # precision=HIGHEST: default matmul precision may take a bf16 fast
+        # path (TPU MXU / CPU oneDNN), which is far too coarse for exact
+        # pixel sums.
+        return acc + jnp.dot(onehot.T, vals,
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST), None
+
+    init = jnp.zeros((num_cells, k), jnp.float32)
+    acc, _ = jax.lax.scan(body, init, (ids_c, vals_c))
+    return acc
+
+
+def cell_counts(cells: jnp.ndarray, num_cells: int) -> jnp.ndarray:
+    """Pixel count per cell, int32, via the one-hot matmul path."""
+    ones = jnp.ones((cells.size, 1), jnp.float32)
+    sums = _chunked_onehot_sums(cells.reshape(-1), ones, num_cells)
+    return jnp.round(sums[:, 0]).astype(jnp.int32)
+
+
+def saliency_f32(counts: jnp.ndarray, s_v_f32: jnp.ndarray,
+                 cfg: ReportConfig) -> jnp.ndarray:
+    """Float32 replica of the C saliency (src/color_quantization.c:588-595)."""
+    qw = jnp.float32(cfg.quantity_weight)
+    svw = jnp.float32(cfg.saturation_value_weight)
+    return counts.astype(jnp.float32) * (qw + svw * s_v_f32) * jnp.float32(1000.0)
+
+
+def margin_insertion_argsort(sal: jnp.ndarray) -> jnp.ndarray:
+    """Exact emulation of custom_sort with comparator (int)(sal_b - sal_a).
+
+    Insertion sort bubbles element i left while the element to its left
+    satisfies sal[left] - sal[i] <= -1.0 (float32 subtraction, C truncation
+    toward zero makes (int)x < 0 iff x <= -1).  The final position of element
+    i is therefore just past the last prefix element (scanning right-to-left)
+    that does NOT satisfy the margin condition — computable with one
+    vectorized pass per outer step.  reference: src/utilities.c:132-153,
+    src/color_quantization.c:601-611.
+    """
+    c = sal.shape[0]
+    iota = jnp.arange(c, dtype=jnp.int32)
+
+    def body(i, order):
+        elem = order[i]
+        sal_i = sal[elem]
+        prefix_sal = sal[order]
+        # margin[j]: element at position j would be bubbled past.
+        margin = (prefix_sal - sal_i) <= jnp.float32(-1.0)
+        blockers = (~margin) & (iota < i)
+        last_blocker = jnp.max(jnp.where(blockers, iota, -1))
+        pos = last_blocker + 1
+        shifted = jnp.roll(order, 1)
+        new_order = jnp.where(
+            iota < pos, order,
+            jnp.where(iota == pos, elem,
+                      jnp.where(iota <= i, shifted, order)))
+        return new_order
+    return jax.lax.fori_loop(1, c, body, iota)
+
+
+def select_valid_parents(counts: jnp.ndarray, order: jnp.ndarray,
+                         total_pixels: int, cfg: ReportConfig):
+    """Coverage-threshold parent selection (reference :174-203).
+
+    Returns (n_valid int32 scalar, valid_mask_sorted (C,) bool).
+    """
+    goal = int(float(total_pixels) * cfg.coverage_thresh)  # C int cast
+    cum = jnp.cumsum(counts[order])
+    n_valid = jnp.argmax(cum >= goal).astype(jnp.int32) + 1
+    c = counts.shape[0]
+    valid_mask_sorted = jnp.arange(c) < n_valid
+    return n_valid, valid_mask_sorted
+
+
+def _pixel_parent_distance(h, s, v, centers):
+    """Intended per-pixel distance (reference :303-311): hue-wrapped
+    normalized Euclidean^2 in (h/360, s, v) space."""
+    hd = jnp.abs(h[:, None] - centers[None, :, 0])
+    hd = jnp.where(hd > 180.0, 360.0 - hd, hd) * jnp.float32(1.0 / 360.0)
+    sd = s[:, None] - centers[None, :, 1]
+    vd = v[:, None] - centers[None, :, 2]
+    return hd * hd + sd * sd + vd * vd
+
+
+def color_palette(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray,
+                  cfg: ReportConfig, tables: OctreeTables) -> PaletteResult:
+    """Full quantization pipeline on the (possibly downsampled) HSV image."""
+    c = cfg.num_cells
+    total_pixels = int(np.prod(h.shape))
+    cells = assign_cells(h, s, v, cfg).reshape(-1)
+
+    counts = cell_counts(cells, c)
+    sal = saliency_f32(counts, tables.s_v_f32, cfg)
+    order = margin_insertion_argsort(sal)          # valid_parents order
+    n_valid, valid_sorted = select_valid_parents(counts, order,
+                                                 total_pixels, cfg)
+
+    # is_valid[cell] via positions: pos_in_order[order[k]] = k.
+    pos_in_order = jnp.zeros((c,), jnp.int32).at[order].set(
+        jnp.arange(c, dtype=jnp.int32))
+    is_valid = pos_in_order < n_valid             # (C,) bool per cell id
+
+    # Nearest valid parent per cell using exact distance ranks.  Column k of
+    # rank_by_k holds rank[cell, order[k]]; invalid k masked to +inf-rank.
+    rank_by_k = tables.dist_ranks[:, order]       # (C, C) int32
+    big = jnp.int32(2**30)
+    masked_ranks = jnp.where(valid_sorted[None, :], rank_by_k, big)
+    min_rank = jnp.min(masked_ranks, axis=1)      # (C,)
+    is_min = masked_ranks == min_rank[:, None]    # (C, C) in valid order
+    num_mins = jnp.sum(is_min & valid_sorted[None, :], axis=1)
+    first_min_k = jnp.argmax(is_min, axis=1)      # first in valid order (C:376-391)
+    unique_parent = order[first_min_k]            # (C,)
+    parent_of_cell = jnp.where(is_valid, jnp.arange(c, dtype=jnp.int32),
+                               unique_parent)
+    cell_tied = (~is_valid) & (num_mins > 1)      # triggers per-pixel branch
+
+    # allowed[cell, k]: parent order[k] participates in the per-pixel
+    # tie-break for this cell.
+    allowed = is_min & valid_sorted[None, :]      # (C, C)
+
+    # ---- per-pixel pass: resolve parents and accumulate palette sums ------
+    hf = h.reshape(-1)
+    sf = s.reshape(-1)
+    vf = v.reshape(-1)
+    centers_by_k = tables.centers[order]          # (C, 3) in valid order
+    offsets = 180.0 - tables.centers[:, 0]        # (C,) per parent cell id
+
+    p = hf.shape[0]
+    pad = (-p) % _CHUNK
+    if pad:
+        hf = jnp.concatenate([hf, jnp.zeros((pad,), hf.dtype)])
+        sf = jnp.concatenate([sf, jnp.zeros((pad,), sf.dtype)])
+        vf = jnp.concatenate([vf, jnp.zeros((pad,), vf.dtype)])
+        cells = jnp.concatenate([cells, jnp.full((pad,), c, jnp.int32)])
+    n_chunks = hf.shape[0] // _CHUNK
+    iota_c = jnp.arange(c, dtype=jnp.int32)
+
+    def body(acc, chunk):
+        hc, sc, vc, cellc = chunk
+        in_image = cellc < c
+        cell_safe = jnp.minimum(cellc, c - 1)
+        # Tie-break: distance to every parent slot (in valid order), masked
+        # to the allowed set of this pixel's cell; first minimum wins, which
+        # matches the C loop over closest_parents in valid_parents order.
+        d = _pixel_parent_distance(hc, sc, vc, centers_by_k)   # (chunk, C)
+        allow_p = allowed[cell_safe]                            # (chunk, C)
+        d_masked = jnp.where(allow_p, d, jnp.float32(np.inf))
+        tie_parent = order[jnp.argmin(d_masked, axis=1)]
+        parent = jnp.where(cell_tied[cell_safe], tie_parent,
+                           parent_of_cell[cell_safe])
+        off = offsets[parent]
+        temp = hc + off
+        temp = jnp.where(temp > 360.0, temp - 360.0,
+                         jnp.where(temp < 0.0, temp + 360.0, temp))
+        w = in_image.astype(jnp.float32)
+        vals = jnp.stack([temp * w, sc * w, vc * w, w], axis=1)  # (chunk, 4)
+        onehot = ((parent[:, None] == iota_c[None, :]) & in_image[:, None]
+                  ).astype(jnp.float32)
+        return acc + jnp.dot(onehot.T, vals,
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST), None
+
+    init = jnp.zeros((c, 4), jnp.float32)
+    sums, _ = jax.lax.scan(
+        body, init,
+        (hf.reshape(n_chunks, _CHUNK), sf.reshape(n_chunks, _CHUNK),
+         vf.reshape(n_chunks, _CHUNK), cells.reshape(n_chunks, _CHUNK)))
+
+    # ---- palette averages in valid order (reference :510-576) -------------
+    per_parent = sums[order]                      # (C, 4) slot k <- order[k]
+    n_k = per_parent[:, 3]
+    n_safe = jnp.maximum(n_k, 1.0)
+    h_avg = per_parent[:, 0] / n_safe - offsets[order]
+    h_avg = jnp.where(h_avg < 0.0, h_avg + 360.0,
+                      jnp.where(h_avg > 360.0, h_avg - 360.0, h_avg))
+    s_avg = per_parent[:, 1] / n_safe
+    v_avg = per_parent[:, 2] / n_safe
+    pct = n_k / jnp.float32(total_pixels)
+
+    live = valid_sorted
+    hsv = jnp.where(live[:, None],
+                    jnp.stack([h_avg, s_avg, v_avg], axis=1), 0.0)
+    pct = jnp.where(live, pct, 0.0)
+    return PaletteResult(hsv=hsv, percentages=pct, n_valid=n_valid,
+                         parent_ids=jnp.where(live, order, -1))

@@ -1,0 +1,104 @@
+"""Parity tests for the elementwise / reduction / stencil ops vs the float64
+golden emulation of the C reference."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from photohive_dsp_tpu.ops import colorspace, filtering, sharpness, stats
+from . import golden_ref as gold
+from .util import snr_db, structured_image
+
+
+@pytest.fixture(scope="module")
+def img():
+    return structured_image(480, 640)
+
+
+def test_rgb2hsv_parity(img):
+    h, s, v = colorspace.rgb_to_hsv(*(jnp.asarray(c, jnp.float32) for c in img))
+    gh, gs, gv = gold.rgb2hsv(*img)
+    assert snr_db(gh, np.asarray(h)) > 55
+    assert snr_db(gs, np.asarray(s)) > 55
+    assert snr_db(gv, np.asarray(v)) > 55
+    assert float(jnp.max(v)) <= 0.999999
+    assert float(jnp.max(s)) <= 0.999999
+    assert float(jnp.min(h)) >= 0 and float(jnp.max(h)) < 360
+
+
+def test_rgb2hsv_clamps():
+    # max==1 -> v clamps; delta==max -> s clamps (reference
+    # src/image_processing.c:408-414).
+    r = jnp.asarray([[1.0, 0.5]], jnp.float32)
+    g = jnp.asarray([[0.0, 0.5]], jnp.float32)
+    b = jnp.asarray([[0.0, 0.5]], jnp.float32)
+    h, s, v = colorspace.rgb_to_hsv(r, g, b)
+    assert np.asarray(v)[0, 0] == np.float32(0.999999)
+    assert np.asarray(s)[0, 0] == np.float32(0.999999)
+    assert np.asarray(s)[0, 1] == 0.0  # gray pixel
+    assert np.asarray(h)[0, 1] == 0.0
+
+
+def test_hsv_roundtrip(img):
+    h, s, v = colorspace.rgb_to_hsv(*(jnp.asarray(c, jnp.float32) for c in img))
+    r, g, b = colorspace.hsv_to_rgb(h, s, v)
+    # clamps limit roundtrip accuracy to ~1e-6 except on clamped pixels
+    for ours, ref in zip((r, g, b), img):
+        assert snr_db(ref, np.asarray(ours)) > 50
+
+
+def test_pgm_parity(img):
+    pgm = colorspace.rgb_to_pgm(*(jnp.asarray(c, jnp.float32) for c in img))
+    assert snr_db(gold.rgb2pgm(*img), np.asarray(pgm)) > 60
+
+
+def test_downsample_quirk(img):
+    for rate in (2, 3, 4):
+        ours = np.asarray(colorspace.downsample_rgb(
+            jnp.asarray(img, jnp.float32), rate))
+        ref = gold.downsample_rgb(img, rate)
+        assert ours.shape == ref.shape
+        np.testing.assert_allclose(ours, ref, atol=1e-7)
+
+
+def test_rgb_statistics(img):
+    ours = np.asarray(stats.rgb_statistics(
+        *(jnp.asarray(c, jnp.float32) for c in img)))
+    ref = gold.rgb_statistics(*img)
+    assert snr_db(ref, ours) > 60
+
+
+def test_laplacian_zero_pad(img):
+    pgm = gold.rgb2pgm(*img)
+    ours = np.asarray(filtering.laplacian_3x3(jnp.asarray(pgm, jnp.float32)))
+    ref = gold.laplacian_filter(pgm)
+    assert snr_db(ref, ours) > 50
+    # border semantics: corner response must reflect zero padding
+    assert abs(ours[0, 0] - ref[0, 0]) < 1e-4
+
+
+def test_trailing_circular_box():
+    x = np.arange(12, dtype=np.float64)
+    ours = np.asarray(filtering.trailing_circular_box(
+        jnp.asarray(x, jnp.float32), 5))
+    ref = gold.trailing_circular_box(x, 5)
+    np.testing.assert_allclose(ours, ref, rtol=1e-6)
+
+
+def test_variance_sharpness(img):
+    pgm64 = gold.rgb2pgm(*img)
+    boxes_list = [(40, 200, 60, 300), (0, 480, 0, 640), (100, 131, 200, 233)]
+    ref = gold.variance_sharpness(pgm64, boxes_list)
+    boxes = np.zeros((10, 4), np.int32)
+    valid = np.zeros((10,), bool)
+    for i, bb in enumerate(boxes_list):
+        boxes[i] = bb
+        valid[i] = True
+    ours = np.asarray(sharpness.variance_sharpness(
+        jnp.asarray(pgm64, jnp.float32), jnp.asarray(boxes),
+        jnp.asarray(valid)))
+    # var/mean with a near-zero mean is ill-conditioned by design; compare
+    # with a relative tolerance rather than SNR.
+    np.testing.assert_allclose(ours[:3], ref, rtol=2e-2)
+    assert np.all(ours[3:] == 0.0)

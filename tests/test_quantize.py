@@ -1,0 +1,132 @@
+"""Parity tests for the HSV-grid color quantizer vs the golden emulation."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from photohive_dsp_tpu.config import ReportConfig
+from photohive_dsp_tpu.ops import quantize
+from photohive_dsp_tpu.ops.geometry import octree_geometry
+from . import golden_ref as gold
+from .util import snr_db
+
+CFG = ReportConfig()
+
+
+def safe_hsv(n=40000, seed=0):
+    """HSV samples placed away from cell boundaries so f32 and f64 paths
+    agree on cell assignment (boundary pixels are legitimately ambiguous
+    under dtype change and are covered by the end-to-end SNR test)."""
+    rng = np.random.default_rng(seed)
+    h = rng.integers(0, 360, n) + 0.5
+    s = np.clip(rng.integers(0, 40, n) / 40.0 + 0.0125, 0, 0.999999)
+    v = np.clip(rng.integers(0, 40, n) / 40.0 + 0.0125, 0, 0.999999)
+    return h.astype(np.float64), s, v
+
+
+def golden_octree():
+    return gold.GoldenOctree(CFG.h_partitions, CFG.s_partitions,
+                             CFG.v_partitions, CFG.black_thresh,
+                             CFG.gray_thresh, CFG.coverage_thresh,
+                             CFG.quantity_weight, CFG.saturation_value_weight)
+
+
+def test_cell_centers_match():
+    geom = octree_geometry(CFG)
+    oct_ = golden_octree()
+    np.testing.assert_allclose(geom.centers, oct_.centers, atol=0)
+
+
+def test_assign_cells_matches():
+    h, s, v = safe_hsv()
+    oct_ = golden_octree()
+    ref = oct_.assign(h, s, v)
+    ours = np.asarray(quantize.assign_cells(
+        jnp.asarray(h, jnp.float32), jnp.asarray(s, jnp.float32),
+        jnp.asarray(v, jnp.float32), CFG)).ravel()
+    assert (ref == ours).mean() > 0.999  # f32 rounding may move a stray pixel
+    # all grays collapse into the first gray cell (premature-cast quirk)
+    gray_mask = (s < CFG.gray_thresh) & (v >= CFG.black_thresh)
+    assert np.all(ours[gray_mask] == CFG.gray_start)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_margin_insertion_sort_matches(seed):
+    """The jitted margin-comparator insertion sort must reproduce the C
+    insertion sort exactly, including non-transitive near-tie behavior."""
+    rng = np.random.default_rng(seed)
+    c = CFG.num_cells
+    counts = rng.integers(0, 50, c)
+    counts[rng.integers(0, c, 20)] = 0           # empty cells
+    counts[rng.integers(0, c, 10)] = 7           # forced quantity ties
+    oct_ = golden_octree()
+    ref_order = oct_.sort_ids(counts)
+    geom = octree_geometry(CFG)
+    sal = quantize.saliency_f32(jnp.asarray(counts, jnp.int32),
+                                jnp.asarray(geom.s_v_f32), CFG)
+    ours = np.asarray(quantize.margin_insertion_argsort(sal))
+    np.testing.assert_array_equal(ours, np.array(ref_order))
+
+
+def test_palette_matches_golden():
+    h, s, v = safe_hsv(60000, seed=42)
+    oct_ = golden_octree()
+    ref_avg, ref_pct, ref_ids = oct_.palette(h, s, v)
+
+    tables = quantize.OctreeTables.for_config(CFG)
+    res = quantize.color_palette(
+        jnp.asarray(h, jnp.float32).reshape(200, 300),
+        jnp.asarray(s, jnp.float32).reshape(200, 300),
+        jnp.asarray(v, jnp.float32).reshape(200, 300), CFG, tables)
+    n = int(res.n_valid)
+    assert n == len(ref_ids)
+    np.testing.assert_array_equal(np.asarray(res.parent_ids)[:n], ref_ids)
+    assert snr_db(ref_pct, np.asarray(res.percentages)[:n]) > 55
+    assert snr_db(ref_avg, np.asarray(res.hsv)[:n]) > 50
+
+
+def test_palette_percentages_sum_and_ranges():
+    h, s, v = safe_hsv(60000, seed=7)
+    tables = quantize.OctreeTables.for_config(CFG)
+    res = quantize.color_palette(
+        jnp.asarray(h, jnp.float32).reshape(200, 300),
+        jnp.asarray(s, jnp.float32).reshape(200, 300),
+        jnp.asarray(v, jnp.float32).reshape(200, 300), CFG, tables)
+    n = int(res.n_valid)
+    pct = np.asarray(res.percentages)
+    hsv = np.asarray(res.hsv)
+    # every pixel is assigned to exactly one parent -> percentages sum to 1
+    assert abs(pct[:n].sum() - 1.0) < 1e-4
+    assert np.all(pct[n:] == 0)
+    assert np.all(hsv[:n, 0] >= 0) and np.all(hsv[:n, 0] <= 360)
+    assert np.all(hsv[:n, 1] >= 0) and np.all(hsv[:n, 1] <= 1)
+    assert np.all(hsv[:n, 2] >= 0) and np.all(hsv[:n, 2] <= 1)
+
+
+def test_tied_cells_per_pixel_branch():
+    """Craft a case where a non-parent cell is exactly equidistant between
+    two valid parents, exercising the per-pixel reassignment branch."""
+    # Hue cells at centers 10, 30, 50 (Lh=20).  Fill cells 0 and 2 heavily
+    # (parents) and put a few pixels in cell 1, half nearer each parent.
+    n_big = 20000
+    h = np.concatenate([
+        np.full(n_big, 10.5), np.full(n_big, 50.5),
+        np.array([22.0, 23.0, 37.0, 38.0]),  # cell 1, split by hue midpoint
+    ])
+    s = np.full(h.shape, 0.55)
+    v = np.full(h.shape, 0.55)
+    oct_ = golden_octree()
+    ref_avg, ref_pct, ref_ids = oct_.palette(h, s, v)
+
+    tables = quantize.OctreeTables.for_config(CFG)
+    res = quantize.color_palette(
+        jnp.asarray(h, jnp.float32).reshape(1, -1),
+        jnp.asarray(s, jnp.float32).reshape(1, -1),
+        jnp.asarray(v, jnp.float32).reshape(1, -1), CFG, tables)
+    n = int(res.n_valid)
+    assert n == len(ref_ids)
+    np.testing.assert_array_equal(np.asarray(res.parent_ids)[:n], ref_ids)
+    np.testing.assert_allclose(np.asarray(res.percentages)[:n], ref_pct,
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(res.hsv)[:n], ref_avg, atol=2e-3)
