@@ -1,0 +1,112 @@
+"""Batched, bucketed report execution.
+
+The reference processes one image per call (src/interface.c:20); the TPU
+build's throughput comes from batching same-shape images into one compiled
+executable (vmap) and sharding the batch over the ``data`` mesh axis.
+Mixed-resolution corpora are grouped into shape buckets — one jit cache
+entry per (H, W) — and each bucket's batches are padded up to a multiple of
+the data-axis size with masked dummy images whose reports are dropped.
+"""
+
+from __future__ import annotations
+
+import collections
+import functools
+from typing import Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import MAX_CROP_BOXES, ReportConfig
+from .pipeline import ReportData, ReportTables, full_report
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_batch_fn(height: int, width: int, cfg: ReportConfig):
+    tables = ReportTables.build(height, width, cfg)
+    fn = jax.jit(jax.vmap(functools.partial(full_report, cfg=cfg),
+                          in_axes=(0, 0, 0, None)))
+    return fn, tables
+
+
+class BatchRunner:
+    """Executes same-shape image batches through one compiled report fn.
+
+    Optionally shards the batch over a mesh's ``data`` axis (in which case
+    batch sizes are padded to a multiple of the axis size).
+    """
+
+    def __init__(self, cfg: ReportConfig, mesh=None):
+        self.cfg = cfg
+        self.mesh = mesh
+        self._data_axis = None
+        if mesh is not None:
+            from ..parallel.mesh import DATA_AXIS
+            self._data_axis = mesh.shape[DATA_AXIS]
+
+    def run(self, images: np.ndarray, boxes: Optional[np.ndarray] = None,
+            boxes_valid: Optional[np.ndarray] = None) -> ReportData:
+        """images: (B, 3, H, W) float32; returns batched ReportData (B, ...)."""
+        b, _, h, w = images.shape
+        if boxes is None:
+            boxes = np.zeros((b, MAX_CROP_BOXES, 4), np.int32)
+            boxes_valid = np.zeros((b, MAX_CROP_BOXES), bool)
+        pad = 0
+        if self._data_axis:
+            pad = (-b) % self._data_axis
+        if pad:
+            images = np.concatenate(
+                [images, np.repeat(images[-1:], pad, axis=0)])
+            boxes = np.concatenate([boxes, np.repeat(boxes[-1:], pad, 0)])
+            boxes_valid = np.concatenate(
+                [boxes_valid, np.repeat(boxes_valid[-1:], pad, 0)])
+
+        if self.mesh is not None:
+            from ..parallel.sharding import data_parallel_report
+            fn, tables = data_parallel_report(h, w, self.cfg, self.mesh)
+        else:
+            fn, tables = _compiled_batch_fn(h, w, self.cfg)
+        out = fn(jnp.asarray(images), jnp.asarray(boxes),
+                 jnp.asarray(boxes_valid), tables)
+        if pad:
+            out = jax.tree.map(lambda x: x[:b], out)
+        return out
+
+
+def bucket_by_shape(items: Iterable[Tuple[object, np.ndarray]])\
+        -> Dict[Tuple[int, int], List[Tuple[object, np.ndarray]]]:
+    """Group (key, (3,H,W) image) pairs by spatial shape."""
+    buckets: Dict[Tuple[int, int], list] = collections.defaultdict(list)
+    for key, img in items:
+        buckets[(img.shape[1], img.shape[2])].append((key, img))
+    return dict(buckets)
+
+
+def run_corpus(images: Iterable[Tuple[object, np.ndarray]],
+               cfg: ReportConfig, mesh=None, batch_size: int = 32)\
+        -> Iterator[Tuple[object, ReportData]]:
+    """Stream reports for a mixed-resolution corpus.
+
+    Truly streaming: images accumulate into per-shape buckets and a bucket
+    flushes as soon as it holds ``batch_size`` images (remainders flush at
+    end of stream), so memory stays O(num_shapes * batch_size) regardless of
+    corpus size.  Yields (key, per-image ReportData).
+    """
+    runner = BatchRunner(cfg, mesh=mesh)
+    buckets: Dict[Tuple[int, int], list] = collections.defaultdict(list)
+
+    def flush(group):
+        arr = np.stack([img for _, img in group]).astype(np.float32)
+        out = runner.run(arr)
+        out_np = jax.tree.map(np.asarray, out)
+        for j, (key, _) in enumerate(group):
+            yield key, jax.tree.map(lambda x, j=j: x[j], out_np)
+
+    for key, img in images:
+        shape = (img.shape[1], img.shape[2])
+        buckets[shape].append((key, img))
+        if len(buckets[shape]) >= batch_size:
+            yield from flush(buckets.pop(shape))
+    for group in buckets.values():
+        yield from flush(group)

@@ -203,14 +203,27 @@ def _pixel_parent_distance(h, s, v, centers):
     return hd * hd + sd * sd + vd * vd
 
 
-def color_palette(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray,
-                  cfg: ReportConfig, tables: OctreeTables) -> PaletteResult:
-    """Full quantization pipeline on the (possibly downsampled) HSV image."""
-    c = cfg.num_cells
-    total_pixels = int(np.prod(h.shape))
-    cells = assign_cells(h, s, v, cfg).reshape(-1)
+class ParentAssignment(NamedTuple):
+    """Replicable (counts-only) state of the parent-selection phase."""
 
-    counts = cell_counts(cells, c)
+    order: jnp.ndarray          # (C,) int32 saliency-sorted cell ids
+    n_valid: jnp.ndarray        # () int32
+    valid_sorted: jnp.ndarray   # (C,) bool over sorted slots
+    parent_of_cell: jnp.ndarray  # (C,) int32 unique nearest parent per cell
+    cell_tied: jnp.ndarray      # (C,) bool: per-pixel tie-break required
+    allowed: jnp.ndarray        # (C, C) bool: tied parents per cell, in
+    #                             valid (saliency) order
+
+
+def parent_assignment(counts: jnp.ndarray, total_pixels: int,
+                      cfg: ReportConfig, tables: OctreeTables)\
+        -> ParentAssignment:
+    """Phases 3-5: saliency sort, coverage selection, nearest-parent map.
+
+    Pure function of the (global) cell counts — in the spatially sharded
+    path this runs replicated on every shard after a psum of the counts.
+    """
+    c = cfg.num_cells
     sal = saliency_f32(counts, tables.s_v_f32, cfg)
     order = margin_insertion_argsort(sal)          # valid_parents order
     n_valid, valid_sorted = select_valid_parents(counts, order,
@@ -234,15 +247,28 @@ def color_palette(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray,
     parent_of_cell = jnp.where(is_valid, jnp.arange(c, dtype=jnp.int32),
                                unique_parent)
     cell_tied = (~is_valid) & (num_mins > 1)      # triggers per-pixel branch
-
-    # allowed[cell, k]: parent order[k] participates in the per-pixel
-    # tie-break for this cell.
     allowed = is_min & valid_sorted[None, :]      # (C, C)
+    return ParentAssignment(order=order, n_valid=n_valid,
+                            valid_sorted=valid_sorted,
+                            parent_of_cell=parent_of_cell,
+                            cell_tied=cell_tied, allowed=allowed)
 
-    # ---- per-pixel pass: resolve parents and accumulate palette sums ------
+
+def palette_pixel_sums(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray,
+                       cells: jnp.ndarray, assign: ParentAssignment,
+                       cfg: ReportConfig, tables: OctreeTables)\
+        -> jnp.ndarray:
+    """Per-pixel parent resolution + palette sums: (C, 4) f32 of
+    [sum wrapped-hue, sum s, sum v, count] per parent cell id.
+
+    Local to a shard; partial sums combine with psum (exact per-bin adds).
+    """
+    c = cfg.num_cells
     hf = h.reshape(-1)
     sf = s.reshape(-1)
     vf = v.reshape(-1)
+    cells = cells.reshape(-1)
+    order = assign.order
     centers_by_k = tables.centers[order]          # (C, 3) in valid order
     offsets = 180.0 - tables.centers[:, 0]        # (C,) per parent cell id
 
@@ -264,11 +290,11 @@ def color_palette(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray,
         # to the allowed set of this pixel's cell; first minimum wins, which
         # matches the C loop over closest_parents in valid_parents order.
         d = _pixel_parent_distance(hc, sc, vc, centers_by_k)   # (chunk, C)
-        allow_p = allowed[cell_safe]                            # (chunk, C)
+        allow_p = assign.allowed[cell_safe]                     # (chunk, C)
         d_masked = jnp.where(allow_p, d, jnp.float32(np.inf))
         tie_parent = order[jnp.argmin(d_masked, axis=1)]
-        parent = jnp.where(cell_tied[cell_safe], tie_parent,
-                           parent_of_cell[cell_safe])
+        parent = jnp.where(assign.cell_tied[cell_safe], tie_parent,
+                           assign.parent_of_cell[cell_safe])
         off = offsets[parent]
         temp = hc + off
         temp = jnp.where(temp > 360.0, temp - 360.0,
@@ -286,8 +312,15 @@ def color_palette(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray,
         body, init,
         (hf.reshape(n_chunks, _CHUNK), sf.reshape(n_chunks, _CHUNK),
          vf.reshape(n_chunks, _CHUNK), cells.reshape(n_chunks, _CHUNK)))
+    return sums
 
-    # ---- palette averages in valid order (reference :510-576) -------------
+
+def palette_finalize(sums: jnp.ndarray, assign: ParentAssignment,
+                     total_pixels: int, tables: OctreeTables)\
+        -> PaletteResult:
+    """Palette averages in valid order (reference :510-576)."""
+    order = assign.order
+    offsets = 180.0 - tables.centers[:, 0]
     per_parent = sums[order]                      # (C, 4) slot k <- order[k]
     n_k = per_parent[:, 3]
     n_safe = jnp.maximum(n_k, 1.0)
@@ -298,9 +331,20 @@ def color_palette(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray,
     v_avg = per_parent[:, 2] / n_safe
     pct = n_k / jnp.float32(total_pixels)
 
-    live = valid_sorted
+    live = assign.valid_sorted
     hsv = jnp.where(live[:, None],
                     jnp.stack([h_avg, s_avg, v_avg], axis=1), 0.0)
     pct = jnp.where(live, pct, 0.0)
-    return PaletteResult(hsv=hsv, percentages=pct, n_valid=n_valid,
+    return PaletteResult(hsv=hsv, percentages=pct, n_valid=assign.n_valid,
                          parent_ids=jnp.where(live, order, -1))
+
+
+def color_palette(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray,
+                  cfg: ReportConfig, tables: OctreeTables) -> PaletteResult:
+    """Full quantization pipeline on the (possibly downsampled) HSV image."""
+    total_pixels = int(np.prod(h.shape))
+    cells = assign_cells(h, s, v, cfg).reshape(-1)
+    counts = cell_counts(cells, cfg.num_cells)
+    assign = parent_assignment(counts, total_pixels, cfg, tables)
+    sums = palette_pixel_sums(h, s, v, cells, assign, cfg, tables)
+    return palette_finalize(sums, assign, total_pixels, tables)

@@ -1,0 +1,141 @@
+"""Input pipeline and resumable corpus driver.
+
+The reference's only durable outputs are text dumps (src/utilities.c:229,
+src/image_processing.c:185); its input is a bespoke ``.txt`` fixture format
+("W H" header then one "r g b" line per pixel, src/image_processing.c:122)
+or a PIL upload (utils.py:30).  The TPU build's equivalent subsystem is a
+streaming corpus driver over 10k-100k images with:
+
+  * per-host sharding (host i processes keys where hash % num_hosts == i);
+  * a fsync'd watermark file recording completed batches, so a preempted
+    run resumes where it left off (checkpoint/resume — ABSENT in the
+    reference, first-class here per SURVEY.md §5.4);
+  * JSONL output shards with the reference's fixed report schema.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Iterable, Iterator, Optional, Tuple
+
+import numpy as np
+
+from ..config import ReportConfig
+from ..models.batch import run_corpus
+from ..report import Report
+
+
+def read_txt_image(path: str) -> np.ndarray:
+    """Read the reference's .txt fixture format -> (3, H, W) float32 [0,1].
+
+    Format (src/image_processing.c:122-173): "W H" then H*W lines "r g b"
+    with 8-bit values, row-major.
+    """
+    with open(path) as f:
+        first = f.readline().split()
+        width, height = int(first[0]), int(first[1])
+        data = np.loadtxt(f, dtype=np.int64, max_rows=height * width)
+    if data.shape != (height * width, 3):
+        raise ValueError(f"malformed txt image {path}: {data.shape}")
+    if data.min() < 0 or data.max() > 255:
+        raise ValueError(f"pixel values outside [0,255] in {path}")
+    rgb = data.reshape(height, width, 3).astype(np.float32) / 255.0
+    return np.moveaxis(rgb, -1, 0)
+
+
+def write_txt_image(rgb: np.ndarray, path: str) -> None:
+    """Write (3, H, W) [0,1] to the reference .txt format
+    (src/image_processing.c:185-201: values truncated to ints)."""
+    _, h, w = rgb.shape
+    flat = (np.moveaxis(rgb, 0, -1).reshape(-1, 3) * 255.0).astype(np.int64)
+    with open(path, "w") as f:
+        f.write(f"{w} {h}\n")
+        np.savetxt(f, flat, fmt="%d")
+
+
+def load_image(path: str) -> np.ndarray:
+    """Load png/jpg (via PIL) or reference .txt -> (3, H, W) float32."""
+    if path.endswith(".txt"):
+        return read_txt_image(path)
+    from PIL import Image
+
+    with Image.open(path) as im:
+        arr = np.asarray(im.convert("RGB"), dtype=np.float32) / 255.0
+    return np.moveaxis(arr, -1, 0)
+
+
+class Watermark:
+    """Durable progress marker: set of completed keys, atomically persisted."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.done = set()
+        if os.path.exists(path):
+            with open(path) as f:
+                self.done = {line.strip() for line in f if line.strip()}
+
+    def mark(self, keys) -> None:
+        with open(self.path, "a") as f:
+            for k in keys:
+                f.write(f"{k}\n")
+            f.flush()
+            os.fsync(f.fileno())
+        self.done.update(str(k) for k in keys)
+
+    def __contains__(self, key) -> bool:
+        return str(key) in self.done
+
+
+def process_corpus(paths: Iterable[str], output_dir: str,
+                   cfg: Optional[ReportConfig] = None, mesh=None,
+                   batch_size: int = 32, num_hosts: int = 1,
+                   host_id: int = 0, flush_every: int = 64) -> int:
+    """Stream a corpus of image files into JSONL report shards, resumably.
+
+    Returns the number of images processed this invocation.  Re-running
+    after an interruption skips completed images via the watermark.
+    """
+    cfg = cfg or ReportConfig()
+    os.makedirs(output_dir, exist_ok=True)
+    wm = Watermark(os.path.join(output_dir, f"watermark.{host_id}"))
+    out_path = os.path.join(output_dir, f"reports.{host_id}.jsonl")
+
+    my_paths = [p for i, p in enumerate(sorted(paths))
+                if i % num_hosts == host_id and p not in wm]
+
+    shapes = {}
+
+    def images() -> Iterator[Tuple[str, np.ndarray]]:
+        for p in my_paths:
+            try:
+                img = load_image(p)
+            except Exception as e:  # corrupt file: record and continue
+                print(f"skipping {p}: {e}")
+                continue
+            shapes[p] = (img.shape[1], img.shape[2])
+            yield p, img
+
+    processed = 0
+    pending = []
+    with open(out_path, "a") as out:
+        for key, data in run_corpus(images(), cfg, mesh=mesh,
+                                    batch_size=batch_size):
+            rep_h, rep_w = shapes[key]
+            rep = Report(data, rep_h, rep_w, num_boxes=0, config=cfg)
+            out.write(json.dumps({"key": str(key),
+                                  "report": json.loads(rep.to_json())}))
+            out.write("\n")
+            pending.append(key)
+            processed += 1
+            if len(pending) >= flush_every:
+                out.flush()
+                os.fsync(out.fileno())
+                wm.mark(pending)
+                pending = []
+        out.flush()
+        os.fsync(out.fileno())
+        if pending:
+            wm.mark(pending)
+    return processed
