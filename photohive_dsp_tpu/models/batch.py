@@ -24,10 +24,31 @@ from .pipeline import ReportData, ReportTables, full_report
 
 @functools.lru_cache(maxsize=32)
 def _compiled_batch_fn(height: int, width: int, cfg: ReportConfig):
+    from .pipeline import full_report_batched
+
     tables = ReportTables.build(height, width, cfg)
-    fn = jax.jit(jax.vmap(functools.partial(full_report, cfg=cfg),
-                          in_axes=(0, 0, 0, None)))
+    use_pallas = jax.default_backend() not in ("cpu",)
+    fn = jax.jit(functools.partial(full_report_batched, cfg=cfg,
+                                   use_pallas=use_pallas))
     return fn, tables
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_u8_batch_fn(height: int, width: int, cfg: ReportConfig):
+    """Batch fn taking device-resident uint8 (B, H, W, 3) images: the
+    host->device transfer moves 4x less data and the planarize/normalize
+    runs on-device fused into the pipeline."""
+    from .pipeline import full_report_batched
+
+    tables = ReportTables.build(height, width, cfg)
+    use_pallas = jax.default_backend() not in ("cpu",)
+
+    def fn(u8, boxes, valid, tables):
+        rgb = jnp.moveaxis(u8, -1, 1).astype(jnp.float32) / 255.0
+        return full_report_batched(rgb, boxes, valid, tables, cfg,
+                                   use_pallas)
+
+    return jax.jit(fn), tables
 
 
 class BatchRunner:
@@ -44,6 +65,28 @@ class BatchRunner:
         if mesh is not None:
             from ..parallel.mesh import DATA_AXIS
             self._data_axis = mesh.shape[DATA_AXIS]
+
+    def run_u8(self, images_u8, boxes=None, boxes_valid=None) -> ReportData:
+        """images_u8: (B, H, W, 3) uint8 (numpy or device array)."""
+        b, h, w, _ = images_u8.shape
+        if boxes is None:
+            boxes = np.zeros((b, MAX_CROP_BOXES, 4), np.int32)
+            boxes_valid = np.zeros((b, MAX_CROP_BOXES), bool)
+        fn, tables = _compiled_u8_batch_fn(h, w, self.cfg)
+        return fn(jnp.asarray(images_u8), jnp.asarray(boxes),
+                  jnp.asarray(boxes_valid), tables)
+
+    def run_stream_u8(self, batches) -> Iterator[ReportData]:
+        """Streaming batches through the compiled pipeline.
+
+        Uploads are sequential device_puts: on this dev environment the TPU
+        sits behind a ~1.2 GB/s network tunnel where a background-thread
+        prefetcher was measured to *hurt* badly (transfer/compute contention
+        over the tunnel), so keep the simple order; uint8 transfer (60 MB
+        per 32x1080p batch) is comfortably hidden on real PCIe hosts."""
+        for images_u8, boxes, valid in batches:
+            yield self.run_u8(jax.device_put(images_u8),
+                              jax.device_put(boxes), jax.device_put(valid))
 
     def run(self, images: np.ndarray, boxes: Optional[np.ndarray] = None,
             boxes_valid: Optional[np.ndarray] = None) -> ReportData:

@@ -103,6 +103,45 @@ def full_report(rgb: jnp.ndarray, boxes: jnp.ndarray,
     )
 
 
+def full_report_batched(rgb: jnp.ndarray, boxes: jnp.ndarray,
+                        boxes_valid: jnp.ndarray, tables: ReportTables,
+                        cfg: ReportConfig,
+                        use_pallas: bool = False) -> ReportData:
+    """Batched report: (B, 3, H, W) -> ReportData with leading batch dim.
+
+    The throughput path: elementwise/FFT/stencil stages are vmapped XLA (they
+    fuse well); the histogram-shaped stages (saliency sort, palette pixel
+    pass, polar binning) switch to the Pallas kernels on TPU
+    (``use_pallas=True``), sharing each one-hot bin map across the batch.
+    """
+    from ..ops.blur import blur_profile_bins_batched
+    from ..ops.quantize import color_palette_batched
+
+    down = jax.vmap(lambda x: downsample_rgb(x, cfg.downsample_rate))(rgb)
+    h, s, v = jax.vmap(lambda x: rgb_to_hsv(x[0], x[1], x[2]))(down)
+    pgm = jax.vmap(lambda x: rgb_to_pgm(x[0], x[1], x[2]))(rgb)
+
+    stats = jax.vmap(lambda x: rgb_statistics(x[0], x[1], x[2]))(rgb)
+    s_bar = jax.vmap(mean_saturation)(s)
+    palette = color_palette_batched(h, s, v, cfg, tables.octree, use_pallas)
+    sharp = jax.vmap(variance_sharpness)(pgm, boxes, boxes_valid)
+
+    dc = (stats[:, 0] + stats[:, 1] + stats[:, 2]) / 3.0
+    mag = jax.vmap(magnitude_fft_normalized)(pgm - dc[:, None, None])
+    bins = blur_profile_bins_batched(mag, tables.polar, cfg.angle_partitions,
+                                     cfg.radius_partitions, use_pallas)
+    angles, mags = jax.vmap(
+        lambda bb: vectorize_blur_profile(bb, cfg))(bins)
+
+    return ReportData(
+        rgb_stats=stats, average_saturation=s_bar,
+        palette_hsv=palette.hsv, palette_pct=palette.percentages,
+        palette_n=palette.n_valid, palette_ids=palette.parent_ids,
+        sharpness=sharp, blur_bins=bins,
+        blur_vector_angles=angles, blur_vector_mags=mags,
+    )
+
+
 @functools.lru_cache(maxsize=16)
 def jitted_full_report(height: int, width: int, cfg: ReportConfig):
     """Compiled report fn + its tables for a given image shape and config."""

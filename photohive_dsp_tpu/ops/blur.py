@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -28,8 +29,9 @@ from .geometry import polar_geometry
 class PolarTables(NamedTuple):
     """Device-resident polar binning constants (see geometry.PolarGeometry)."""
 
-    pad_index: jnp.ndarray   # (A*R, Lmax) int32
+    pad_index: jnp.ndarray   # (A*R, Lmax) int32 (gather path, XLA/CPU)
     bin_counts: jnp.ndarray  # (A*R,) int32
+    bin_ids: jnp.ndarray     # (H * fft_width,) int32 (Pallas MXU path)
 
     @classmethod
     def for_shape(cls, height: int, width: int, cfg: ReportConfig)\
@@ -37,7 +39,8 @@ class PolarTables(NamedTuple):
         geom = polar_geometry(height, width, cfg.angle_partitions,
                               cfg.radius_partitions)
         return cls(pad_index=jnp.asarray(geom.pad_index),
-                   bin_counts=jnp.asarray(geom.bin_counts))
+                   bin_counts=jnp.asarray(geom.bin_counts),
+                   bin_ids=jnp.asarray(geom.bin_ids))
 
 
 def blur_profile_bins(mag_norm: jnp.ndarray, tables: PolarTables,
@@ -57,6 +60,29 @@ def blur_profile_bins(mag_norm: jnp.ndarray, tables: PolarTables,
     counts = tables.bin_counts.astype(mag_norm.dtype)
     means = jnp.where(tables.bin_counts > 0, sums / jnp.maximum(counts, 1), 0.0)
     return means.reshape(num_angle_bins, num_radius_bins)
+
+
+def blur_profile_bins_batched(mag_norm: jnp.ndarray, tables: PolarTables,
+                              num_angle_bins: int, num_radius_bins: int,
+                              use_pallas: bool = False) -> jnp.ndarray:
+    """Batched bin means: (B, H, W//2+1) -> (B, A, R).
+
+    The Pallas path contracts the shared one-hot bin map against the whole
+    batch on the MXU (ops/pallas_kernels.polar_bin_sums); the XLA path is
+    the vmapped static gather."""
+    b = mag_norm.shape[0]
+    num_bins = num_angle_bins * num_radius_bins
+    if use_pallas:
+        from . import pallas_kernels as pk
+        sums = pk.polar_bin_sums(mag_norm.reshape(b, -1), tables.bin_ids,
+                                 num_bins)
+        counts = tables.bin_counts.astype(mag_norm.dtype)
+        means = jnp.where(tables.bin_counts[None, :] > 0,
+                          sums / jnp.maximum(counts, 1.0)[None, :], 0.0)
+        return means.reshape(b, num_angle_bins, num_radius_bins)
+    return jax.vmap(
+        lambda m: blur_profile_bins(m, tables, num_angle_bins,
+                                    num_radius_bins))(mag_norm)
 
 
 def vectorize_blur_profile(bins: jnp.ndarray, cfg: ReportConfig):
@@ -80,21 +106,21 @@ def vectorize_blur_profile(bins: jnp.ndarray, cfg: ReportConfig):
     is_max = (smooth > left) & (smooth > right) \
         & (smooth > avg * cfg.fft_streak_thresh)
 
-    # First 10 maxima in ascending angle order (the reference appends i=0,
-    # then interior ascending, then i=A-1 — i.e. ascending).
-    idx = jnp.where(is_max, jnp.arange(a), a)
-    cand = jnp.sort(idx)[:NUM_BLUR_VECTORS]                 # (10,)
-    valid = cand < a
-    cand_c = jnp.clip(cand, 0, a - 1)
+    # Everything below is computed for *every* angle (vectorized — no sorts
+    # or data-dependent gathers; TPU-friendly), then the first 10 maxima in
+    # ascending angle order are selected into the 10 output slots (the
+    # reference appends i=0, interior ascending, then i=A-1 — ascending).
+    rank = jnp.cumsum(is_max) - 1                           # slot per maxima
+    keep = is_max & (rank < NUM_BLUR_VECTORS)
 
-    # Re-index the angle (:387) and vet against the global average (:392-400).
-    angle_idx = (cand_c + a // 2) % a
-    cur = bins[angle_idx]                                   # (10, R)
+    # Re-index the angle (:387): cur[i] = bins[(i + A//2) % A] — a static
+    # circular roll; vet against the global average (:392-400).
+    cur = jnp.roll(bins, -(a // 2), axis=0)                 # (A, R)
     blur_avg = jnp.sum(cur[:, :radius_cutoff], axis=1)
     suppressed = blur_avg > avg
 
     # Magnitude: first radius bin below the magnitude threshold (:403-412).
-    below = cur < cfg.magnitude_thresh                      # (10, R)
+    below = cur < cfg.magnitude_thresh                      # (A, R)
     first_below = jnp.where(jnp.any(below, axis=1),
                             jnp.argmax(below, axis=1), r)
     magnitude = first_below.astype(bins.dtype) / float(r)
@@ -103,14 +129,22 @@ def vectorize_blur_profile(bins: jnp.ndarray, cfg: ReportConfig):
     # (int)(180 * ((float)idx / (float)A) - 90) rounds in float32 *without*
     # FMA contraction — e.g. idx=50, A=72 gives 34.99999 -> 34, not 35.  XLA
     # may fuse the multiply-subtract, so the table is precomputed on host
-    # with C's exact rounding.
+    # with C's exact rounding, indexed by the rolled angle per slot.
+    angle_idx = (np.arange(a) + a // 2) % a
     table = np.trunc(
-        np.float32(180) * (np.arange(a, dtype=np.float32) / np.float32(a))
+        np.float32(180) * (angle_idx.astype(np.float32) / np.float32(a))
         - np.float32(90)
     ).astype(np.int32)
-    angle_deg = jnp.asarray(table)[angle_idx]
 
-    keep = valid & ~suppressed
-    angles = jnp.where(keep, angle_deg, 0)
-    mags = jnp.where(keep, magnitude, 0.0)
+    live = keep & ~suppressed
+    angles_a = jnp.where(live, jnp.asarray(table), 0)       # (A,) int32
+    mags_a = jnp.where(live, magnitude, 0.0)
+
+    # Scatter the <=10 kept maxima into their slots with a (10, A) one-hot
+    # selection (slot k <- the angle whose maxima-rank is k).
+    sel = (rank[None, :] == jnp.arange(NUM_BLUR_VECTORS)[:, None]) \
+        & keep[None, :]                                     # (10, A)
+    angles = jnp.sum(jnp.where(sel, angles_a[None, :], 0), axis=1,
+                     dtype=jnp.int32)
+    mags = jnp.sum(jnp.where(sel, mags_a[None, :], 0.0), axis=1)
     return angles, mags

@@ -1,0 +1,99 @@
+"""The batched (XLA) pipeline must agree with the single-image pipeline.
+
+The Pallas variants of these stages are validated on TPU hardware by
+tools/tpu_parity_check.py (Pallas TPU kernels can't run on the CPU CI
+backend); here the batched XLA compositions are pinned against the
+per-image reference path."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+import photohive_dsp_tpu as ph
+from photohive_dsp_tpu.models.pipeline import (ReportTables,
+                                               full_report_batched,
+                                               jitted_full_report)
+from photohive_dsp_tpu.models.batch import BatchRunner, run_corpus
+from .util import structured_image
+
+
+def test_batched_matches_single():
+    cfg = ph.ReportConfig()
+    imgs = np.stack([structured_image(360, 480, seed=i) for i in range(3)])
+    boxes = np.zeros((3, 10, 4), np.int32)
+    boxes[:, 0] = (40, 200, 60, 300)
+    valid = np.zeros((3, 10), bool)
+    valid[:, 0] = True
+
+    tables = ReportTables.build(360, 480, cfg)
+    batched = jax.jit(
+        lambda r, b, v, t: full_report_batched(r, b, v, t, cfg, False))(
+        jnp.asarray(imgs, jnp.float32), jnp.asarray(boxes),
+        jnp.asarray(valid), tables)
+
+    fn, tables1 = jitted_full_report(360, 480, cfg)
+    for i in range(3):
+        single = fn(jnp.asarray(imgs[i], jnp.float32),
+                    jnp.asarray(boxes[i]), jnp.asarray(valid[i]), tables1)
+        one = jax.tree.map(lambda x, i=i: x[i], batched)
+        np.testing.assert_allclose(np.asarray(one.rgb_stats),
+                                   np.asarray(single.rgb_stats), rtol=1e-6)
+        assert int(one.palette_n) == int(single.palette_n)
+        np.testing.assert_array_equal(np.asarray(one.palette_ids),
+                                      np.asarray(single.palette_ids))
+        np.testing.assert_allclose(np.asarray(one.palette_hsv),
+                                   np.asarray(single.palette_hsv),
+                                   atol=2e-3)
+        np.testing.assert_allclose(np.asarray(one.blur_bins),
+                                   np.asarray(single.blur_bins), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(one.blur_vector_angles),
+                                      np.asarray(single.blur_vector_angles))
+        np.testing.assert_allclose(np.asarray(one.sharpness),
+                                   np.asarray(single.sharpness), rtol=1e-4)
+
+
+def test_u8_entry_matches_f32():
+    # structured (well-separated palette) images: XLA may compile the u8
+    # path's /255 as a reciprocal multiply, so near-tie saliency orders on
+    # pure random data can legitimately differ by ulps.
+    cfg = ph.ReportConfig()
+    u8 = np.stack([
+        np.moveaxis((structured_image(360, 480, seed=i) * 255).round(), 0, -1)
+        for i in range(2)
+    ]).astype(np.uint8)
+    runner = BatchRunner(cfg)
+    out_u8 = runner.run_u8(u8)
+    f32 = np.moveaxis(u8, -1, 1).astype(np.float32) / 255.0
+    out_f32 = runner.run(f32)
+    np.testing.assert_allclose(np.asarray(out_u8.rgb_stats),
+                               np.asarray(out_f32.rgb_stats), atol=1e-6)
+    # the /255 normalization may compile as a reciprocal multiply in one
+    # path, shifting boundary pixels by an ulp: palette id SETS must agree
+    # and percentages must match per id, but near-tie adjacent order may
+    # legitimately swap.
+    for i in range(u8.shape[0]):
+        n8 = int(out_u8.palette_n[i])
+        n32 = int(out_f32.palette_n[i])
+        assert abs(n8 - n32) <= 1
+        ids8 = set(np.asarray(out_u8.palette_ids[i])[:n8].tolist())
+        ids32 = set(np.asarray(out_f32.palette_ids[i])[:n32].tolist())
+        common = ids8 & ids32
+        assert len(common) / max(len(ids8 | ids32), 1) > 0.95
+        pct8 = dict(zip(np.asarray(out_u8.palette_ids[i])[:n8].tolist(),
+                        np.asarray(out_u8.palette_pct[i])[:n8]))
+        pct32 = dict(zip(np.asarray(out_f32.palette_ids[i])[:n32].tolist(),
+                         np.asarray(out_f32.palette_pct[i])[:n32]))
+        for cid in common:
+            assert abs(pct8[cid] - pct32[cid]) < 1e-3
+
+
+def test_run_corpus_mixed_shapes():
+    cfg = ph.ReportConfig()
+    items = [(f"k{i}", structured_image(360, 480, seed=i)) for i in range(3)]
+    items += [(f"m{i}", structured_image(352, 400, seed=i)) for i in range(2)]
+    got = dict(run_corpus(iter(items), cfg, batch_size=2))
+    assert set(got) == {"k0", "k1", "k2", "m0", "m1"}
+    for key, data in got.items():
+        assert np.isfinite(np.asarray(data.rgb_stats)).all()
+        assert 0 < int(data.palette_n) <= cfg.num_cells

@@ -1,0 +1,123 @@
+"""TPU-hardware parity check for the Pallas kernels.
+
+The CPU CI backend can't execute Mosaic kernels, so this script (run on a
+real chip: ``python tools/tpu_parity_check.py``) validates the Pallas fast
+path against the XLA reference path on-device:
+
+  * margin_sort vs margin_insertion_argsort (exact),
+  * cell_counts_batched vs cell_counts (exact),
+  * polar_bin_sums vs float64 bincount (SNR),
+  * color_palette_batched use_pallas=True vs False (ids/pct exact, hsv SNR),
+  * full_report_batched Pallas vs XLA end to end.
+
+Exit code 0 = all checks pass.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main() -> int:
+    from photohive_dsp_tpu.config import ReportConfig
+    from photohive_dsp_tpu.models.pipeline import (ReportTables,
+                                                   full_report_batched)
+    from photohive_dsp_tpu.ops import pallas_kernels as pk
+    from photohive_dsp_tpu.ops import quantize
+    from photohive_dsp_tpu.ops.geometry import polar_geometry
+
+    if jax.default_backend() == "cpu":
+        print("SKIP: needs TPU hardware")
+        return 0
+
+    cfg = ReportConfig()
+    tables = quantize.OctreeTables.for_config(cfg)
+    rng = np.random.default_rng(0)
+    ok = True
+
+    def check(name, cond):
+        nonlocal ok
+        print(f"{'PASS' if cond else 'FAIL'}: {name}")
+        ok = ok and cond
+
+    # margin sort (including near-tie patterns)
+    sal = jnp.asarray(
+        np.round(rng.random((16, cfg.num_cells)) * 30)
+        + rng.random((16, cfg.num_cells)) * 0.6, jnp.float32)
+    ref = jax.jit(jax.vmap(quantize.margin_insertion_argsort))(sal)
+    got = jax.jit(pk.margin_sort)(sal)
+    check("margin_sort exact", bool((np.asarray(ref) == np.asarray(got)).all()))
+
+    # cell counts
+    cells = jnp.asarray(rng.integers(0, cfg.num_cells, (4, 123457)),
+                        jnp.int32)
+    refc = jax.jit(jax.vmap(
+        lambda c: quantize.cell_counts(c, cfg.num_cells)))(cells)
+    gotc = jax.jit(lambda c: pk.cell_counts_batched(c, cfg.num_cells))(cells)
+    check("cell_counts exact",
+          bool((np.asarray(refc) == np.asarray(gotc)).all()))
+
+    # polar bins
+    h_dim, w_dim = 480, 640
+    geom = polar_geometry(h_dim, w_dim, cfg.angle_partitions,
+                          cfg.radius_partitions)
+    p = h_dim * (w_dim // 2 + 1)
+    vals = jnp.asarray(rng.random((4, p)), jnp.float32)
+    sums = np.asarray(jax.jit(
+        lambda v: pk.polar_bin_sums(v, jnp.asarray(geom.bin_ids), 2880)
+    )(vals))
+    ref0 = np.bincount(geom.bin_ids,
+                       weights=np.asarray(vals[0], np.float64),
+                       minlength=2880)
+    rel = np.linalg.norm(sums[0] - ref0) / np.linalg.norm(ref0)
+    check(f"polar_bin_sums SNR ({rel:.1e})", rel < 1e-5)
+
+    # palette end to end, random (tie-heavy) data
+    b = 4
+    h = jnp.asarray(rng.random((b, 480, 640)) * 360, jnp.float32)
+    s = jnp.asarray(rng.random((b, 480, 640)) * 0.999, jnp.float32)
+    v = jnp.asarray(rng.random((b, 480, 640)) * 0.999, jnp.float32)
+    fast = jax.jit(lambda *a: quantize.color_palette_batched(
+        *a, cfg, tables, True))(h, s, v)
+    slow = jax.jit(lambda *a: quantize.color_palette_batched(
+        *a, cfg, tables, False))(h, s, v)
+    check("palette ids exact", bool(
+        (np.asarray(fast.parent_ids) == np.asarray(slow.parent_ids)).all()))
+    check("palette pct exact", bool(np.abs(
+        np.asarray(fast.percentages) - np.asarray(slow.percentages)
+    ).max() == 0.0))
+    hsv_err = np.abs(np.asarray(fast.hsv) - np.asarray(slow.hsv)).max()
+    check(f"palette hsv close ({hsv_err:.1e})", hsv_err < 5e-3)
+
+    # full pipeline
+    rgb = jnp.asarray(rng.random((b, 3, 480, 640)), jnp.float32)
+    boxes = jnp.zeros((b, 10, 4), jnp.int32).at[:, 0].set(
+        jnp.asarray([40, 200, 60, 300], jnp.int32))
+    bvalid = jnp.zeros((b, 10), bool).at[:, 0].set(True)
+    tabs = ReportTables.build(480, 640, cfg)
+    fp = jax.jit(lambda *a: full_report_batched(*a, tabs, cfg, True))(
+        rgb, boxes, bvalid)
+    xp = jax.jit(lambda *a: full_report_batched(*a, tabs, cfg, False))(
+        rgb, boxes, bvalid)
+    bins_rel = (np.linalg.norm(np.asarray(fp.blur_bins)
+                               - np.asarray(xp.blur_bins))
+                / np.linalg.norm(np.asarray(xp.blur_bins)))
+    check(f"pipeline bins close ({bins_rel:.1e})", bins_rel < 1e-4)
+    check("pipeline vectors exact", bool(
+        (np.asarray(fp.blur_vector_angles)
+         == np.asarray(xp.blur_vector_angles)).all()))
+    check("pipeline palette ids exact", bool(
+        (np.asarray(fp.palette_ids) == np.asarray(xp.palette_ids)).all()))
+
+    print("ALL OK" if ok else "FAILURES PRESENT")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
