@@ -19,6 +19,34 @@ from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
+def _enable_compilation_cache() -> None:
+    """Persist XLA/Mosaic compilations across processes.
+
+    First-compile latency for a new image shape is tens of seconds to
+    minutes (large fused pipeline + Pallas kernels); the persistent cache
+    makes every later process start warm.  Opt out by setting
+    PHOTOHIVE_NO_COMPILATION_CACHE=1 or pre-configuring the cache dir.
+    """
+    import os
+
+    if os.environ.get("PHOTOHIVE_NO_COMPILATION_CACHE"):
+        return
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir is None:
+            cache = os.path.join(
+                os.path.expanduser("~"), ".cache", "photohive_dsp_tpu",
+                "jax_cache")
+            os.makedirs(cache, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:  # cache is an optimization; never block import
+        pass
+
+
+_enable_compilation_cache()
+
 from .config import (MAX_CROP_BOXES, NUM_BLUR_VECTORS, ReportConfig,
                      check_image_dims)
 from .models.pipeline import (ReportData, ReportTables, full_report,

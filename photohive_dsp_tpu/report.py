@@ -86,6 +86,49 @@ class Report:
         # src/filtering.c:152-154).
         self.sharpnesses = [float(x) for x in data.sharpness[:num_boxes]]
 
+    # ---- visualization methods (API parity with reference core.py) -------
+
+    def generate_color_palette_image(self):
+        """reference core.py:182-216."""
+        from .utils import viz
+
+        self.color_palette_image = viz.palette_image(
+            self.color_palette.colors, self.color_palette.quantities)
+        return self.color_palette_image
+
+    def generate_blur_profile_image(self):
+        """reference core.py:219-228 + src/blur_profile.c:140-180."""
+        from .utils import viz
+
+        self.blur_profile_image = viz.blur_profile_image(
+            np.asarray(self.blur_profile.bins), self.rgb_stats.height,
+            self.rgb_stats.width)
+        return self.blur_profile_image
+
+    def generate_blur_direction_frequency_response(self):
+        """reference core.py:122-179."""
+        from .utils import viz
+
+        cfg = self.config
+        self.blur_vector_plot = viz.frequency_response_plot(
+            self.blur_vectors, np.asarray(self.blur_profile.bins),
+            cfg.magnitude_thresh if cfg else 0.3,
+            cfg.fft_streak_thresh if cfg else 1.2,
+            cfg.blur_cutoff_ratio_denom if cfg else 2)
+        return self.blur_vector_plot
+
+    def generate_report_card(self, image=None, bounding_boxes=None):
+        """Headless all-in-one dashboard (stand-in for reference
+        display_all, core.py:267-385)."""
+        from .utils import viz
+
+        return viz.report_card(self, image=image,
+                               bounding_boxes=bounding_boxes)
+
+    def display_all(self, image=None, bounding_boxes=None):  # pragma: no cover
+        """Show the report card in a window when a display is available."""
+        self.generate_report_card(image, bounding_boxes).show()
+
     def to_json(self) -> str:
         """Fixed-width flat schema (reference core.py:388-436)."""
         rd = {
