@@ -124,6 +124,12 @@ def get_report(image, salient_characters=None, *,
         boxes, valid = salient_characters
         num_boxes = int(valid.sum())
 
-    fn, tables = jitted_full_report(height, width, cfg)
-    data = fn(rgb, boxes, valid, tables)
+    # Route through the batched pipeline with B=1: on TPU this takes the
+    # Pallas fast path (the single-image XLA palette pass is far slower).
+    from .models.batch import _compiled_batch_fn
+    import jax
+
+    fn, tables = _compiled_batch_fn(height, width, cfg)
+    data = fn(rgb[None], boxes[None], valid[None], tables)
+    data = jax.tree.map(lambda x: x[0], data)
     return Report(data, height, width, num_boxes=num_boxes, config=cfg)
