@@ -117,12 +117,19 @@ class BatchRunner:
         return out
 
 
+def image_hw(img: np.ndarray) -> Tuple[int, int]:
+    """Spatial shape of either a (3, H, W) float or (H, W, 3) uint8 image."""
+    if img.ndim == 3 and img.shape[-1] == 3 and img.dtype == np.uint8:
+        return img.shape[0], img.shape[1]
+    return img.shape[1], img.shape[2]
+
+
 def bucket_by_shape(items: Iterable[Tuple[object, np.ndarray]])\
         -> Dict[Tuple[int, int], List[Tuple[object, np.ndarray]]]:
-    """Group (key, (3,H,W) image) pairs by spatial shape."""
+    """Group (key, image) pairs by spatial shape."""
     buckets: Dict[Tuple[int, int], list] = collections.defaultdict(list)
     for key, img in items:
-        buckets[(img.shape[1], img.shape[2])].append((key, img))
+        buckets[image_hw(img)].append((key, img))
     return dict(buckets)
 
 
@@ -140,14 +147,27 @@ def run_corpus(images: Iterable[Tuple[object, np.ndarray]],
     buckets: Dict[Tuple[int, int], list] = collections.defaultdict(list)
 
     def flush(group):
-        arr = np.stack([img for _, img in group]).astype(np.float32)
-        out = runner.run(arr)
-        out_np = jax.tree.map(np.asarray, out)
+        arr = np.stack([img for _, img in group])
+        # pad partial batches up to batch_size so each image shape compiles
+        # exactly one executable (a fresh compile costs far more than the
+        # wasted rows)
+        n_real = arr.shape[0]
+        if n_real < batch_size:
+            arr = np.concatenate(
+                [arr, np.repeat(arr[-1:], batch_size - n_real, axis=0)])
+        if arr.dtype == np.uint8:
+            # (B, H, W, 3) uint8: the fast transfer path — uint8 uploads
+            # move at full link speed while f32 uploads are several times
+            # slower on tunneled hosts, and the planarize runs on-device.
+            out = runner.run_u8(arr)
+        else:
+            out = runner.run(arr.astype(np.float32))
+        out_np = jax.device_get(out)  # one transfer call for all leaves
         for j, (key, _) in enumerate(group):
             yield key, jax.tree.map(lambda x, j=j: x[j], out_np)
 
     for key, img in images:
-        shape = (img.shape[1], img.shape[2])
+        shape = image_hw(img)
         buckets[shape].append((key, img))
         if len(buckets[shape]) >= batch_size:
             yield from flush(buckets.pop(shape))

@@ -82,6 +82,24 @@ def load_image(path: str) -> np.ndarray:
     return np.moveaxis(arr, -1, 0)
 
 
+def load_image_u8(path: str) -> np.ndarray:
+    """Load png/jpg/.txt -> (H, W, 3) uint8 — the fast-transfer layout
+    (uint8 uploads at full link speed; planarize/normalize runs on-device).
+    """
+    if path.endswith(".txt"):
+        from .. import runtime as native_rt
+
+        u8 = native_rt.read_txt_u8(path)
+        if u8 is not None:
+            return u8
+        return np.moveaxis(
+            (read_txt_image(path) * 255.0).round(), 0, -1).astype(np.uint8)
+    from PIL import Image
+
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"), dtype=np.uint8)
+
+
 class Watermark:
     """Durable progress marker: set of completed keys, atomically persisted."""
 
@@ -126,11 +144,11 @@ def process_corpus(paths: Iterable[str], output_dir: str,
     def images() -> Iterator[Tuple[str, np.ndarray]]:
         for p in my_paths:
             try:
-                img = load_image(p)
+                img = load_image_u8(p)
             except Exception as e:  # corrupt file: record and continue
                 print(f"skipping {p}: {e}")
                 continue
-            shapes[p] = (img.shape[1], img.shape[2])
+            shapes[p] = (img.shape[0], img.shape[1])
             yield p, img
 
     processed = 0
