@@ -8,7 +8,8 @@ fixed-shape dense math:
      over C = h*s*v + v + 1 cells.  The reference's gray-cell index contains
      a premature int cast — ``(int)(v - black)`` is always 0 for v<1 — so all
      gray pixels land in the *first* gray cell; reproduced faithfully.
-  2. **Cell histogram**: chunked one-hot matmul (MXU) instead of scatter-add.
+  2. **Cell histogram**: scatter-free — fused compare-reduce (XLA path) or
+     a VMEM one-hot kernel (ops/pallas_kernels.cell_counts_batched on TPU).
   3. **Saliency ordering** (find_valid_octree_parents, :174-203 +
      custom_sort src/utilities.c:132-153): the reference insertion-sorts cell
      ids with the comparator ``(int)(saliency_b - saliency_a)`` — a
@@ -29,8 +30,9 @@ fixed-shape dense math:
      the distance it computes).
   6. **Palette averaging** (calculate_avg_hsv, :510-576): per-parent means
      with the hue-rotation offset trick (rotate by 180-parent_h, wrap, mean,
-     rotate back), computed as a single chunked one-hot matmul pass over
-     pixels producing per-parent [sum wrapped-hue, sum s, sum v, count].
+     rotate back), from per-parent [sum wrapped-hue, sum s, sum v, count]
+     accumulated in one pass over pixels (scan of one-hot matmuls in the XLA
+     path; ops/pallas_kernels.palette_sums_by_k on TPU).
 """
 
 from __future__ import annotations
@@ -96,48 +98,12 @@ def assign_cells(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray,
     return out.astype(jnp.int32)
 
 
-def _chunked_onehot_sums(ids_flat: jnp.ndarray, vals_flat: jnp.ndarray,
-                         num_cells: int) -> jnp.ndarray:
-    """sum_{p: ids[p]==c} vals[p, :] as chunked (chunk x C)^T @ (chunk x K).
-
-    ids_flat: (P,) int32 in [0, num_cells); vals_flat: (P, K) f32.
-    Returns (num_cells, K) f32.  Scatter-free: each chunk builds a one-hot
-    matrix in registers and contracts it on the MXU.
-    """
-    p = ids_flat.shape[0]
-    k = vals_flat.shape[1]
-    pad = (-p) % _CHUNK
-    if pad:
-        ids_flat = jnp.concatenate(
-            [ids_flat, jnp.full((pad,), num_cells, jnp.int32)])
-        vals_flat = jnp.concatenate(
-            [vals_flat, jnp.zeros((pad, k), vals_flat.dtype)])
-    n_chunks = ids_flat.shape[0] // _CHUNK
-    ids_c = ids_flat.reshape(n_chunks, _CHUNK)
-    vals_c = vals_flat.reshape(n_chunks, _CHUNK, k)
-    iota = jnp.arange(num_cells, dtype=jnp.int32)
-
-    def body(acc, chunk):
-        ids, vals = chunk
-        onehot = (ids[:, None] == iota[None, :]).astype(vals.dtype)
-        # precision=HIGHEST: default matmul precision may take a bf16 fast
-        # path (TPU MXU / CPU oneDNN), which is far too coarse for exact
-        # pixel sums.
-        return acc + jnp.dot(onehot.T, vals,
-                             preferred_element_type=jnp.float32,
-                             precision=jax.lax.Precision.HIGHEST), None
-
-    init = jnp.zeros((num_cells, k), jnp.float32)
-    acc, _ = jax.lax.scan(body, init, (ids_c, vals_c))
-    return acc
-
-
 def cell_counts(cells: jnp.ndarray, num_cells: int) -> jnp.ndarray:
     """Pixel count per cell, int32, via a fused compare-reduce.
 
-    XLA fuses the (P, C) broadcasted comparison directly into the reduction
-    (no scatter, no materialized one-hot) — measured ~300x faster on TPU
-    than a one-hot matmul for C~112.
+    Scatter-free: XLA fuses the (P, C) broadcasted comparison into the
+    reduction.  This is the portable path (CPU tests, sharded bodies); the
+    TPU batch pipeline uses pallas_kernels.cell_counts_batched instead.
     """
     flat = cells.reshape(-1)
     pad = (-flat.size) % 128
@@ -392,13 +358,13 @@ def color_palette_batched(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray,
     c = cfg.num_cells
     cells = jax.vmap(lambda a, bb, cc: assign_cells(a, bb, cc, cfg))(h, s, v)
     cells = cells.reshape(b, -1)
-    if use_pallas:
-        from . import pallas_kernels as pk
-        counts = pk.cell_counts_batched(cells, c)
-    else:
-        counts = jax.vmap(lambda x: cell_counts(x, c))(cells)
+    # counts: the fused XLA compare-reduce measures ~2x faster than the
+    # Pallas histogram kernel when embedded in the full pipeline program
+    # (both are VPU-compare-bound; the XLA fusion wins on int compares).
+    counts = jax.vmap(lambda x: cell_counts(x, c))(cells)
     sal = jax.vmap(lambda x: saliency_f32(x, tables.s_v_f32, cfg))(counts)
     if use_pallas:
+        from . import pallas_kernels as pk
         order = pk.margin_sort(sal)
     else:
         order = jax.vmap(margin_insertion_argsort)(sal)
