@@ -166,6 +166,12 @@ class OctreeGeometry(NamedTuple):
     dist_ranks: np.ndarray
     # The float32 distances themselves (for reporting/debug), shape (C, C).
     dist_f32: np.ndarray
+    # Static upper bound on the per-cell nearest-parent candidate count: the
+    # candidates of any cell (tied parents of group_irregular_pixels,
+    # src/color_quantization.c:376-400) all share one distance-rank value, so
+    # no cell can ever have more candidates than the largest equal-rank group
+    # in its dist_ranks row.  Sizes the Pallas palette kernel's tie tables.
+    max_tie_candidates: int
 
 
 @functools.lru_cache(maxsize=32)
@@ -224,9 +230,11 @@ def octree_geometry(cfg: ReportConfig) -> OctreeGeometry:
 
     # Dense ranks per row, exact float64 tie detection.
     ranks = np.zeros((c_total, c_total), dtype=np.int32)
+    max_tie = 1
     for c in range(c_total):
         uniq, inv = np.unique(dist[c], return_inverse=True)
         ranks[c] = inv.astype(np.int32)
+        max_tie = max(max_tie, int(np.bincount(inv).max()))
 
     return OctreeGeometry(
         num_cells=c_total,
@@ -236,4 +244,5 @@ def octree_geometry(cfg: ReportConfig) -> OctreeGeometry:
         s_v_f32=s_v_f32,
         dist_ranks=ranks,
         dist_f32=dist.astype(np.float32),
+        max_tie_candidates=max_tie,
     )

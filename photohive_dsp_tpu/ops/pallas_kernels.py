@@ -15,12 +15,13 @@ segment sums whose XLA lowerings either scatter (serialized on TPU), gather
     quantizer's histogram and per-pixel parent-resolution passes (reference
     arm_octree / group_irregular_pixels / calculate_avg_hsv,
     src/color_quantization.c:108-576).  The design rule: per pixel, only
-    ~2-3 cell-width (C, chunk) VPU ops (the one-hot compares), with every
-    per-pixel table lookup done as a (1, C) x (C, chunk) MXU matvec against
-    the one-hot, and the per-bin sums as a (C, chunk) x (chunk, 4) MXU
-    contraction.  The tie-break branch (distance argmin over tied parents)
-    is gated per 1024-pixel row with lax.cond on "any tied pixel here", so
-    its ~20 C-wide ops run only on the rare rows that need them.
+    the two unavoidable cell-width (C, chunk) one-hot compares; every
+    per-pixel table lookup is a single exact one-hot GEMM against a
+    (5*q_pad, C) candidate LUT, and the tie-break distance/argmin math runs
+    on (q_pad, chunk) arrays, where q_pad (~40) is the static bound on
+    tie-candidate count from the exact distance-rank geometry — ~3x less
+    VPU work than a full C-wide (112) formulation.  The per-bin sums are a
+    (C, chunk) x (chunk, 4) MXU contraction.
 
   * ``margin_sort`` — the reference's insertion sort with the truncating
     float32 margin comparator (src/utilities.c:132-153,
@@ -34,7 +35,6 @@ ops/quantize.py used on CPU and in parity tests.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -68,12 +68,17 @@ def _polar_kernel(ids_ref, v_ref, out_ref, *, num_bins: int):
     iota = jax.lax.broadcasted_iota(jnp.int32, (num_bins, _POLAR_CHUNK), 0)
     onehot = (iota == ids).astype(jnp.float32)           # (NB, CHUNK)
     # Mosaic's default f32 matmul is a single bf16 pass, which rounds the
-    # values (and was observed mis-summing large-M one-hot contractions);
-    # HIGHEST gives exact f32 products for the 0/1 weights (Mosaic does not
-    # implement Precision.HIGH).
-    part = jax.lax.dot_general(onehot, v_ref[...], (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)
+    # values (and was observed mis-summing large-M one-hot contractions).
+    # Instead of the exact-but-6-pass HIGHEST, split the values into three
+    # bf16-exact terms: every product against the 0/1 one-hot is then exact
+    # in ONE pass (the f32 accumulator sums ~2^-24-exact contributions).
+    v = v_ref[...]                                       # (CHUNK, B)
+    hi = v.astype(jnp.bfloat16).astype(jnp.float32)
+    r = v - hi
+    mid = r.astype(jnp.bfloat16).astype(jnp.float32)
+    v3 = jnp.concatenate([hi, mid, r - mid], axis=1)     # (CHUNK, 3B)
+    part = jax.lax.dot_general(onehot, v3, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
 
     @pl.when(step == 0)
     def _():
@@ -108,11 +113,13 @@ def polar_bin_sums(vals: jnp.ndarray, bin_ids: jnp.ndarray,
             pl.BlockSpec((_POLAR_CHUNK, b), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((nb, b), lambda i: (0, 0),
+        out_specs=pl.BlockSpec((nb, 3 * b), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nb, b), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nb, 3 * b), jnp.float32),
     )(ids.reshape(n_chunks, 1, _POLAR_CHUNK), vals_t)
-    return out[:num_bins].T                              # (B, num_bins)
+    # Recombine the hi/mid/lo split columns.
+    out = out[:num_bins, :b] + out[:num_bins, b:2 * b] + out[:num_bins, 2 * b:]
+    return out.T                                         # (B, num_bins)
 
 
 # ---------------------------------------------------------------------------
@@ -141,10 +148,11 @@ def _cell_counts_kernel(cell_ref, out_ref, *, num_cells: int):
     def row(j, acc):
         crow = cell_ref[0, pl.ds(j, 1), :]
         oh_c = (iota_c == crow).astype(jnp.float32)
+        # 0/1 x 1.0 products are exact even in the single bf16 pass of
+        # DEFAULT precision; the f32 accumulator keeps counts exact.
         return acc + jax.lax.dot_general(
             oh_c, ones, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+            preferred_element_type=jnp.float32)
 
     acc = jax.lax.fori_loop(0, cell_ref.shape[1], row,
                             jnp.zeros((c, 4), jnp.float32))
@@ -175,61 +183,98 @@ def cell_counts_batched(cells: jnp.ndarray, num_cells: int) -> jnp.ndarray:
     return jnp.round(out[..., 0]).astype(jnp.int32)
 
 
-class PaletteKernelTables(NamedTuple):
-    """Per-image (data-dependent) lookup rows feeding the palette kernel.
+def _trunc_split3(x: jnp.ndarray):
+    """Exact 3-term bf16 decomposition of f32: x == t1 + t2 + t3 bit-exactly,
+    each term exactly representable in bf16.
 
-    Rows are laid out (1, C) so in-kernel lookups are (1, C) x (C, CH)
-    MXU matvecs against the cell one-hot; ``allowed_t`` is the 0/1
-    tie-candidate matrix contracted against the one-hot at default (bf16)
-    precision — exact, since every operand is 0 or 1 and each output column
-    has exactly one contributing term."""
+    Truncating the low 16 bits yields the leading 8 significand bits (bf16
+    IS the top half of f32), the residual subtraction is exact (Sterbenz),
+    and after two truncations the final residual spans at most 8 significand
+    bits — itself bf16-exact.  A dot_general at DEFAULT precision (a single
+    bf16 MXU pass here) over these terms against a 0/1 one-hot is therefore
+    bit-exact while streaming 6x fewer passes than Precision.HIGHEST.
+    (Exact for normal f32 only — denormal inputs may flush in the residual
+    subtraction; palette LUT values are ints, hues, and unit fractions.)"""
+    mask = np.uint32(0xFFFF0000)
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    t1 = jax.lax.bitcast_convert_type(bits & mask, jnp.float32)
+    r = x - t1
+    rbits = jax.lax.bitcast_convert_type(r, jnp.uint32)
+    t2 = jax.lax.bitcast_convert_type(rbits & mask, jnp.float32)
+    return t1, t2, r - t2
 
-    kof: jnp.ndarray       # (1, C) f32: unique parent slot per cell
-    tied: jnp.ndarray      # (1, C) f32: 1.0 where per-pixel tie-break runs
-    offs: jnp.ndarray      # (1, C) f32: hue offset per valid-order slot
-    ck_h: jnp.ndarray      # (1, C) f32 parent-center hue, valid order
-    ck_s: jnp.ndarray      # (1, C)
-    ck_v: jnp.ndarray      # (1, C)
-    allowed_t: jnp.ndarray  # (C, C) f32 0/1: [k, cell] tie candidate
 
+def palette_candidate_lut(assign, tables, num_cells: int,
+                          q_pad: int) -> jnp.ndarray:
+    """Per-image candidate LUT for the palette kernel, shape (12*q_pad, C).
 
-def palette_kernel_tables(assign, tables, num_cells: int)\
-        -> PaletteKernelTables:
-    """Build the kernel lookup rows from a quantize.ParentAssignment."""
+    Every cell's nearest-parent candidates are exactly its row of
+    ``assign.allowed`` (one entry for untied cells — their unique parent;
+    the tied set otherwise), so the kernel needs no separate parent/tied
+    lookups: it computes the per-pixel distance to each candidate and takes
+    the first minimum in valid order, which is the reference's tie rule
+    (src/color_quantization.c:376-451) and degenerates to the unique parent
+    when there is only one candidate.
+
+    ``q_pad`` (static, from geometry.max_tie_candidates rounded up to a
+    sublane multiple) bounds the candidate count: candidates all share one
+    distance-rank value, so no cell exceeds the largest equal-rank group.
+
+    Four quantities, each stored as its exact 3-term bf16 decomposition
+    (q_pad rows per term, indexed [q, cell]; sentinel slots: k = C, centers
+    0): candidate slot k (ascending), center hue, center sat, center val.
+    The 12 sections let the kernel gather everything with ONE single-pass
+    bf16 GEMM against the cell one-hot, bit-exactly (see _trunc_split3);
+    the hue offset is recomputed in-kernel as 180 - center_hue, the same
+    f32 subtraction the XLA path applies to the same center value.
+    """
     c = num_cells
     order = assign.order
-    centers_by_k = tables.centers[order].astype(jnp.float32)
-    offsets = (180.0 - tables.centers[:, 0]).astype(jnp.float32)
-    pos_in_order = jnp.zeros((c,), jnp.int32).at[order].set(
-        jnp.arange(c, dtype=jnp.int32))
-    k_of_cell = pos_in_order[assign.parent_of_cell]
-    row = lambda x: x.astype(jnp.float32)[None, :]
-    return PaletteKernelTables(
-        kof=row(k_of_cell), tied=row(assign.cell_tied),
-        offs=row(offsets[order]), ck_h=row(centers_by_k[:, 0]),
-        ck_s=row(centers_by_k[:, 1]), ck_v=row(centers_by_k[:, 2]),
-        allowed_t=assign.allowed.T.astype(jnp.float32),
-    )
+    centers_by_k = tables.centers[order].astype(jnp.float32)   # (C, 3)
+    iota_k = jnp.arange(c, dtype=jnp.int32)
+    big = jnp.int32(1 << 30)
+    # First q_pad allowed slots per cell in ascending k: top_k of -k.
+    score = jnp.where(assign.allowed, -iota_k[None, :], -big)  # (C, C)
+    take = min(q_pad, c)
+    vals, _ = jax.lax.top_k(score, take)                       # (C, take)
+    cand_k = jnp.where(vals > -big, -vals, c)                  # ascending k
+    if q_pad > take:
+        cand_k = jnp.concatenate(
+            [cand_k, jnp.full((c, q_pad - take), c, cand_k.dtype)], axis=1)
+    safe = jnp.minimum(cand_k, c - 1)
+    real = (cand_k < c).astype(jnp.float32)                    # (C, q_pad)
+    quantities = [
+        cand_k.astype(jnp.float32),
+        centers_by_k[safe, 0] * real,
+        centers_by_k[safe, 1] * real,
+        centers_by_k[safe, 2] * real,
+    ]
+    sections = [t for qty in quantities for t in _trunc_split3(qty)]
+    return jnp.concatenate([sec.T for sec in sections], axis=0)
 
 
-def _palette_kernel(h_ref, s_ref, v_ref, cell_ref, kof_ref, tied_ref,
-                    offs_ref, ckh_ref, cks_ref, ckv_ref, allow_ref,
-                    out_ref, *, num_cells: int):
-    """Per-pixel parent resolution + palette sums, tie-exact and branchless:
-    the tie-break argmin runs unconditionally but costs only ~10 cell-width
-    VPU ops per 1024-pixel row (the candidate mask comes from one bf16 0/1
-    matmul against the cell one-hot)."""
+def _palette_kernel(h_ref, s_ref, v_ref, cell_ref, lut_ref, out_ref, *,
+                    num_cells: int, q_pad: int):
+    """Per-pixel parent resolution + palette sums, tie-exact and branchless.
+
+    Per 1024-pixel row: one single-pass bf16 GEMM gathers all candidate
+    tables bit-exactly (the LUT rows are bf16-exact split terms), the
+    distance/argmin math runs on (q_pad, CHUNK) arrays — q_pad (typically
+    40) sublane rows instead of C (112) — and the palette sums go out
+    through a second single-pass GEMM whose value rows are bf16-split
+    (exact 0/1 count column; hue/sat/val sums exact per product).  The two
+    GEMMs streaming one pass instead of Precision.HIGHEST's six is worth
+    ~2x on the whole kernel."""
     step = pl.program_id(1)
     c = num_cells
+    q = q_pad
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (c, _CHUNK), 0)
-    exact = jax.lax.Precision.HIGHEST
-    cheap = jax.lax.Precision.DEFAULT
 
-    def matvec(row_tab, oh, precision):
-        # (1, C) @ (C, CH) -> (1, CH)
-        return jax.lax.dot_general(
-            row_tab, oh, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision)
+    def split3(x):
+        hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+        r = x - hi
+        mid = r.astype(jnp.bfloat16).astype(jnp.float32)
+        return hi, mid, r - mid
 
     def row(j, acc):
         hrow = h_ref[0, pl.ds(j, 1), :]                   # (1, CHUNK)
@@ -238,37 +283,52 @@ def _palette_kernel(h_ref, s_ref, v_ref, cell_ref, kof_ref, tied_ref,
         crow = cell_ref[0, pl.ds(j, 1), :]
         in_img = (crow < c).astype(jnp.float32)           # (1, CHUNK)
         oh_c = (iota_c == crow).astype(jnp.float32)       # (C, CHUNK)
-        # 0/1- and small-integer-valued lookups: exact at bf16 precision
-        kof_p = matvec(kof_ref[0], oh_c, cheap)
-        tied_p = matvec(tied_ref[0], oh_c, cheap)
-        allowed = jax.lax.dot_general(
-            allow_ref[0], oh_c, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=cheap)  # (Ck, CH)
-        # per-pixel distance to each tie candidate (valid order)
-        hd = jnp.abs(hrow - ckh_ref[0].reshape(c, 1))
+        # All candidate lookups in one single-pass bf16 GEMM: every LUT row
+        # is bf16-exact and the one-hot is 0/1, so each product is exact and
+        # each output element has exactly one contributing term.
+        lu = jax.lax.dot_general(
+            lut_ref[0], oh_c, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # (12q, CHUNK)
+        candk = lu[0 * q:1 * q] + lu[1 * q:2 * q] + lu[2 * q:3 * q]
+        ch = lu[3 * q:4 * q] + lu[4 * q:5 * q] + lu[5 * q:6 * q]
+        cs = lu[6 * q:7 * q] + lu[7 * q:8 * q] + lu[8 * q:9 * q]
+        cv = lu[9 * q:10 * q] + lu[10 * q:11 * q] + lu[11 * q:12 * q]
+        # Distance to each candidate; identical f32 ops to the XLA path's
+        # _pixel_parent_distance, so ties break bit-identically.
+        hd = jnp.abs(hrow - ch)                           # (q, CHUNK)
         hd = jnp.where(hd > 180.0, 360.0 - hd, hd) * jnp.float32(1 / 360.0)
-        sd = srow - cks_ref[0].reshape(c, 1)
-        vd = vrow - ckv_ref[0].reshape(c, 1)
+        sd = srow - cs
+        vd = vrow - cv
         d = hd * hd + sd * sd + vd * vd
-        dm = jnp.where(allowed > 0.5, d, jnp.float32(_BIG))
+        dm = jnp.where(candk < jnp.float32(c), d, jnp.float32(_BIG))
         minv = jnp.min(dm, axis=0, keepdims=True)
-        kstar = jnp.min(jnp.where(dm == minv, iota_c, c), axis=0,
-                        keepdims=True).astype(jnp.float32)
-        kfin = jnp.where(tied_p > 0.5, kstar, kof_p)
-        kfin = jnp.where(in_img > 0.5, kfin, jnp.float32(c))
+        iskmin = dm == minv
+        # First minimum in valid order == smallest candidate k (ascending).
+        kstar = jnp.min(jnp.where(iskmin, candk, jnp.float32(c)), axis=0,
+                        keepdims=True)
+        chosen = jnp.logical_and(iskmin, candk == kstar)  # one row per pixel
+        # Offset of the chosen parent: the same f32 "180 - center_hue" the
+        # XLA path computes (sentinel rows only sum for padded pixels,
+        # which in_img zeroes below).
+        off = jnp.sum(jnp.where(chosen, jnp.float32(180.0) - ch, 0.0),
+                      axis=0, keepdims=True)
+        kfin = jnp.where(in_img > 0.5, kstar, jnp.float32(c))
         oh_k = (iota_c == kfin.astype(jnp.int32)).astype(jnp.float32)
-        off = matvec(offs_ref[0], oh_k, exact)
         temp = hrow + off
         temp = jnp.where(temp > 360.0, temp - 360.0,
                          jnp.where(temp < 0.0, temp + 360.0, temp))
+        t1, t2, t3 = split3(temp * in_img)
+        s1, s2, s3 = split3(srow * in_img)
+        v1, v2, v3 = split3(vrow * in_img)
         vals = jnp.concatenate(
-            [temp * in_img, srow * in_img, vrow * in_img, in_img], axis=0)
+            [in_img, t1, t2, t3, s1, s2, s3, v1, v2, v3,
+             jnp.zeros((6, _CHUNK), jnp.float32)], axis=0)  # (16, CHUNK)
         return acc + jax.lax.dot_general(
             oh_k, vals, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=exact)  # (C, 4)
+            preferred_element_type=jnp.float32)           # (C, 16), 1 pass
 
     acc = jax.lax.fori_loop(0, h_ref.shape[1], row,
-                            jnp.zeros((c, 4), jnp.float32))
+                            jnp.zeros((c, 16), jnp.float32))
 
     @pl.when(step == 0)
     def _():
@@ -280,11 +340,12 @@ def _palette_kernel(h_ref, s_ref, v_ref, cell_ref, kof_ref, tied_ref,
 
 
 def palette_sums_by_k(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray,
-                      cells: jnp.ndarray, ktabs: PaletteKernelTables,
-                      num_cells: int) -> jnp.ndarray:
+                      cells: jnp.ndarray, luts: jnp.ndarray,
+                      num_cells: int, q_pad: int) -> jnp.ndarray:
     """Palette sums per valid-order slot: (B, P) pixels -> (B, C, 4) f32 of
     [sum wrapped-hue, sum s, sum v, count] — the valid_parents layout that
-    quantize.palette_finalize_by_k consumes."""
+    quantize.palette_finalize_by_k consumes.  ``luts`` is the batched
+    (B, 12*q_pad, C) output of palette_candidate_lut."""
     b = h.shape[0]
     c = num_cells
     sh = functools.partial(_shape_pixels, fill=0.0)
@@ -293,20 +354,22 @@ def palette_sums_by_k(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray,
 
     pix = pl.BlockSpec((1, _ROWS, _CHUNK), lambda bb, i: (bb, i, 0),
                        memory_space=pltpu.VMEM)
-    tab = pl.BlockSpec((1, 1, c), lambda bb, i: (bb, 0, 0),
+    lut = pl.BlockSpec((1, 12 * q_pad, c), lambda bb, i: (bb, 0, 0),
                        memory_space=pltpu.VMEM)
-    allow = pl.BlockSpec((1, c, c), lambda bb, i: (bb, 0, 0),
-                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_palette_kernel, num_cells=c),
+        functools.partial(_palette_kernel, num_cells=c, q_pad=q_pad),
         grid=(b, t),
-        in_specs=[pix, pix, pix, pix, tab, tab, tab, tab, tab, tab, allow],
-        out_specs=pl.BlockSpec((1, c, 4), lambda bb, i: (bb, 0, 0),
+        in_specs=[pix, pix, pix, pix, lut],
+        out_specs=pl.BlockSpec((1, c, 16), lambda bb, i: (bb, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, c, 4), jnp.float32),
-    )(sh(h), sh(s), sh(v), shaped_cells, ktabs.kof, ktabs.tied, ktabs.offs,
-      ktabs.ck_h, ktabs.ck_s, ktabs.ck_v, ktabs.allowed_t)
-    return out
+        out_shape=jax.ShapeDtypeStruct((b, c, 16), jnp.float32),
+    )(sh(h), sh(s), sh(v), shaped_cells, luts)
+    # Recombine the split columns: [count | hue x3 | sat x3 | val x3 | pad].
+    return jnp.stack(
+        [out[..., 1] + out[..., 2] + out[..., 3],
+         out[..., 4] + out[..., 5] + out[..., 6],
+         out[..., 7] + out[..., 8] + out[..., 9],
+         out[..., 0]], axis=-1)
 
 
 # ---------------------------------------------------------------------------

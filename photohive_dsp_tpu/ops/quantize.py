@@ -373,10 +373,14 @@ def color_palette_batched(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray,
                                                     cfg, tables)
     )(counts, order)
     if use_pallas:
-        ktabs = jax.vmap(
-            lambda a: pk.palette_kernel_tables(a, tables, c))(assign)
+        # q_pad is static per config: no cell can have more tie candidates
+        # than the largest equal-rank group in the exact distance table.
+        q_pad = max(8, -(-octree_geometry(cfg).max_tie_candidates // 8) * 8)
+        luts = jax.vmap(
+            lambda a: pk.palette_candidate_lut(a, tables, c, q_pad))(assign)
         sums_by_k = pk.palette_sums_by_k(h.reshape(b, -1), s.reshape(b, -1),
-                                         v.reshape(b, -1), cells, ktabs, c)
+                                         v.reshape(b, -1), cells, luts, c,
+                                         q_pad)
         return jax.vmap(
             lambda sk, a: palette_finalize_by_k(sk, a, total_pixels, tables)
         )(sums_by_k, assign)
