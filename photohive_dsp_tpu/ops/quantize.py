@@ -375,12 +375,33 @@ def color_palette_batched(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray,
     if use_pallas:
         # q_pad is static per config: no cell can have more tie candidates
         # than the largest equal-rank group in the exact distance table.
-        q_pad = max(8, -(-octree_geometry(cfg).max_tie_candidates // 8) * 8)
-        luts = jax.vmap(
-            lambda a: pk.palette_candidate_lut(a, tables, c, q_pad))(assign)
-        sums_by_k = pk.palette_sums_by_k(h.reshape(b, -1), s.reshape(b, -1),
-                                         v.reshape(b, -1), cells, luts, c,
-                                         q_pad)
+        # That worst case (~40: a gray/black cell invalid yet tied across
+        # every hue) almost never involves a *populated* cell on real
+        # images, so a narrow q=8 kernel handles the common case and the
+        # full-width kernel is kept as the exact fallback, selected by one
+        # scalar lax.cond on this batch's actual candidate counts.
+        q_full = max(8, -(-octree_geometry(cfg).max_tie_candidates // 8) * 8)
+        q_small = 8
+        hf = h.reshape(b, -1)
+        sf = s.reshape(b, -1)
+        vf = v.reshape(b, -1)
+
+        def run(q_pad):
+            def body(_):
+                luts = jax.vmap(lambda a: pk.palette_candidate_lut(
+                    a, tables, c, q_pad))(assign)
+                return pk.palette_sums_by_k(hf, sf, vf, cells, luts, c,
+                                            q_pad)
+            return body
+
+        if q_full == q_small:
+            sums_by_k = run(q_full)(None)
+        else:
+            # Candidate count only matters for cells that hold pixels.
+            ncand = jnp.sum(assign.allowed, axis=-1)       # (B, C)
+            q_needed = jnp.max(jnp.where(counts > 0, ncand, 0))
+            sums_by_k = jax.lax.cond(q_needed <= q_small,
+                                     run(q_small), run(q_full), None)
         return jax.vmap(
             lambda sk, a: palette_finalize_by_k(sk, a, total_pixels, tables)
         )(sums_by_k, assign)

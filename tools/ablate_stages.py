@@ -1,0 +1,141 @@
+"""Fused-program stage ablation: the only trustworthy stage costing here.
+
+Isolated per-stage timings on this host are polluted by ~30-50 ms of
+per-dispatch overhead when alternating executables (see CLAUDE.md), and the
+fused report overlaps stages, so stage costs must be measured as *deltas of
+the fused program*: compile the full batched report with one stage replaced
+by a shape-compatible dummy and compare wall-clock.
+
+Usage: python tools/ablate_stages.py [height width batch]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+import jax
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # sitecustomize pins the axon TPU plugin; forcing CPU needs both the env
+    # var and the config update (see CLAUDE.md / tests/conftest.py).
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+
+
+def build_variant(skip: frozenset, cfg, tables, use_pallas: bool):
+    """full_report_batched with the named stages dummied out."""
+    from photohive_dsp_tpu.models.pipeline import ReportData
+    from photohive_dsp_tpu.ops.blur import (blur_profile_bins_batched,
+                                            vectorize_blur_profile)
+    from photohive_dsp_tpu.ops.colorspace import (downsample_rgb, rgb_to_hsv,
+                                                  rgb_to_pgm)
+    from photohive_dsp_tpu.ops.fft import magnitude_fft_normalized
+    from photohive_dsp_tpu.ops.quantize import color_palette_batched
+    from photohive_dsp_tpu.ops.sharpness import variance_sharpness
+    from photohive_dsp_tpu.ops.stats import mean_saturation, rgb_statistics
+
+    def fn(rgb, boxes, boxes_valid):
+        b = rgb.shape[0]
+        c = cfg.num_cells
+        a_bins, r_bins = cfg.angle_partitions, cfg.radius_partitions
+
+        down = jax.vmap(lambda x: downsample_rgb(x, cfg.downsample_rate))(rgb)
+        h, s, v = jax.vmap(lambda x: rgb_to_hsv(x[0], x[1], x[2]))(down)
+        pgm = jax.vmap(lambda x: rgb_to_pgm(x[0], x[1], x[2]))(rgb)
+        stats = jax.vmap(lambda x: rgb_statistics(x[0], x[1], x[2]))(rgb)
+        s_bar = jax.vmap(mean_saturation)(s)
+
+        if "palette" in skip:
+            ph = jnp.zeros((b, c, 3)) + s_bar[:, None, None]
+            pp = jnp.zeros((b, c))
+            pn = jnp.zeros((b,), jnp.int32)
+            pids = jnp.zeros((b, c), jnp.int32)
+        else:
+            pal = color_palette_batched(h, s, v, cfg, tables.octree,
+                                        use_pallas)
+            ph, pp, pn, pids = (pal.hsv, pal.percentages, pal.n_valid,
+                                pal.parent_ids)
+
+        if "sharpness" in skip:
+            sharp = jnp.zeros((b, boxes.shape[1])) + s_bar[:, None]
+        else:
+            sharp = jax.vmap(variance_sharpness)(pgm, boxes, boxes_valid)
+
+        dc = (stats[:, 0] + stats[:, 1] + stats[:, 2]) / 3.0
+        if "fft" in skip:
+            fw = rgb.shape[3] // 2 + 1
+            mag = (pgm[:, :, :fw] - dc[:, None, None])
+        else:
+            mag = jax.vmap(magnitude_fft_normalized)(pgm - dc[:, None, None])
+
+        if "polar" in skip:
+            bins = jnp.mean(mag, axis=(1, 2))[:, None, None] \
+                + jnp.zeros((b, a_bins, r_bins))
+        else:
+            bins = blur_profile_bins_batched(mag, tables.polar, a_bins,
+                                             r_bins, use_pallas)
+
+        if "vectors" in skip:
+            angles = jnp.zeros((b, 10), jnp.int32)
+            mags = bins[:, :10, 0]
+        else:
+            angles, mags = jax.vmap(
+                lambda bb: vectorize_blur_profile(bb, cfg))(bins)
+
+        return ReportData(
+            rgb_stats=stats, average_saturation=s_bar, palette_hsv=ph,
+            palette_pct=pp, palette_n=pn, palette_ids=pids, sharpness=sharp,
+            blur_bins=bins, blur_vector_angles=angles, blur_vector_mags=mags)
+
+    return jax.jit(fn)
+
+
+def main():
+    from photohive_dsp_tpu.config import ReportConfig
+    from photohive_dsp_tpu.models.pipeline import ReportTables
+
+    height, width, batch = 1080, 1920, 16
+    if len(sys.argv) >= 4:
+        height, width, batch = map(int, sys.argv[1:4])
+    cfg = ReportConfig()
+    tables = ReportTables.build(height, width, cfg)
+    use_pallas = jax.default_backend() not in ("cpu",)
+
+    rng = np.random.default_rng(0)
+    rgb = jax.device_put(rng.random((batch, 3, height, width),
+                                    np.float32).astype(np.float32))
+    boxes = np.zeros((batch, 10, 4), np.int32)
+    boxes[:, 0] = (100, 500, 200, 900)
+    boxes[:, 1] = (400, 900, 600, 1500)
+    valid = np.zeros((batch, 10), bool)
+    valid[:, :2] = True
+    dboxes, dvalid = jax.device_put(boxes), jax.device_put(valid)
+
+    def measure(skip):
+        fn = build_variant(frozenset(skip), cfg, tables, use_pallas)
+        out = fn(rgb, dboxes, dvalid)
+        np.asarray(out.rgb_stats)  # compile+run
+        ts = []
+        for _ in range(6):
+            t0 = time.perf_counter()
+            out = fn(rgb, dboxes, dvalid)
+            np.asarray(out.rgb_stats)
+            np.asarray(out.blur_bins[0, 0, 0])
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    base = measure(())
+    mp = batch * height * width / 1e6
+    print(f"full fused: {base*1000:.1f} ms  ({mp/base:.1f} MP/s)")
+    for stage in ("palette", "sharpness", "fft", "polar", "vectors"):
+        t = measure((stage,))
+        print(f"  -{stage:<10} {t*1000:7.1f} ms   delta {1000*(base-t):+7.1f} ms")
+
+
+if __name__ == "__main__":
+    main()
