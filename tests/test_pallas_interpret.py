@@ -1,0 +1,107 @@
+"""CPU coverage for the Pallas fast path via Mosaic interpret mode.
+
+The CPU backend can't execute compiled Mosaic kernels, so the TPU fast path
+would otherwise only be exercised by tools/tpu_parity_check.py on hardware.
+``pltpu.force_tpu_interpret_mode`` emulates the kernels op-by-op on CPU,
+which pins their *logic* (candidate tables, tie-break argmin, split-term
+exactness, cond branch selection) in CI; Mosaic-compiler behavior is still
+validated on-chip by the parity tool.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from photohive_dsp_tpu.config import ReportConfig
+from photohive_dsp_tpu.ops import pallas_kernels as pk
+from photohive_dsp_tpu.ops import quantize
+from photohive_dsp_tpu.ops.geometry import polar_geometry
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return ReportConfig()
+
+
+@pytest.fixture(scope="module")
+def tables(cfg):
+    return quantize.OctreeTables.for_config(cfg)
+
+
+def test_palette_kernel_interpret_matches_xla(cfg, tables):
+    rng = np.random.default_rng(0)
+    b = 2
+    h = jnp.asarray(rng.random((b, 96, 128)) * 360, jnp.float32)
+    s = jnp.asarray(rng.random((b, 96, 128)) * 0.999, jnp.float32)
+    v = jnp.asarray(rng.random((b, 96, 128)) * 0.999, jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        fast = quantize.color_palette_batched(h, s, v, cfg, tables, True)
+    slow = quantize.color_palette_batched(h, s, v, cfg, tables, False)
+    assert (np.asarray(fast.parent_ids) == np.asarray(slow.parent_ids)).all()
+    assert np.array_equal(np.asarray(fast.percentages),
+                          np.asarray(slow.percentages))
+    assert np.abs(np.asarray(fast.hsv) - np.asarray(slow.hsv)).max() < 5e-3
+
+
+def test_palette_kernel_interpret_wide_branch(cfg, tables):
+    """Force the full-width (q=40) kernel and check it agrees too."""
+    rng = np.random.default_rng(1)
+    h = jnp.asarray(rng.random((1, 64, 128)) * 360, jnp.float32)
+    s = jnp.asarray(rng.random((1, 64, 128)) * 0.999, jnp.float32)
+    v = jnp.asarray(rng.random((1, 64, 128)) * 0.999, jnp.float32)
+    c = cfg.num_cells
+    total = 64 * 128
+    cells = jax.vmap(lambda a, b2, c2: quantize.assign_cells(a, b2, c2, cfg))(
+        h, s, v).reshape(1, -1)
+    counts = jax.vmap(lambda x: quantize.cell_counts(x, c))(cells)
+    assign = jax.vmap(lambda cnt: quantize.parent_assignment(
+        cnt, total, cfg, tables))(counts)
+    with pltpu.force_tpu_interpret_mode():
+        luts = jax.vmap(lambda a: pk.palette_candidate_lut(
+            a, tables, c, 40))(assign)
+        sums = pk.palette_sums_by_k(h.reshape(1, -1), s.reshape(1, -1),
+                                    v.reshape(1, -1), cells, luts, c, 40)
+    ref = jax.vmap(lambda hh, ss, vv, cc2, a: quantize.palette_pixel_sums(
+        hh, ss, vv, cc2, a, cfg, tables))(h, s, v, cells, assign)
+    ref_by_k = jax.vmap(lambda sm, o: sm[o])(ref, assign.order)
+    assert np.array_equal(np.asarray(sums[..., 3]),
+                          np.asarray(ref_by_k[..., 3]))  # counts exact
+    assert np.abs(np.asarray(sums) - np.asarray(ref_by_k)).max() < 0.5
+
+
+def test_polar_bin_sums_interpret(cfg):
+    rng = np.random.default_rng(2)
+    geom = polar_geometry(240, 320, cfg.angle_partitions,
+                          cfg.radius_partitions)
+    p = 240 * (320 // 2 + 1)
+    num_bins = cfg.angle_partitions * cfg.radius_partitions
+    vals = jnp.asarray(rng.random((2, p)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        sums = np.asarray(pk.polar_bin_sums(vals, jnp.asarray(geom.bin_ids),
+                                            num_bins))
+    ref = np.bincount(geom.bin_ids, weights=np.asarray(vals[0], np.float64),
+                      minlength=num_bins)
+    rel = np.linalg.norm(sums[0] - ref) / np.linalg.norm(ref)
+    assert rel < 1e-6
+
+
+def test_cell_counts_interpret(cfg):
+    rng = np.random.default_rng(3)
+    cells = jnp.asarray(rng.integers(0, cfg.num_cells, (2, 12345)), jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        got = pk.cell_counts_batched(cells, cfg.num_cells)
+    ref = jax.vmap(lambda x: quantize.cell_counts(x, cfg.num_cells))(cells)
+    assert np.array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_margin_sort_interpret(cfg):
+    rng = np.random.default_rng(4)
+    sal = jnp.asarray(np.round(rng.random((4, cfg.num_cells)) * 30)
+                      + rng.random((4, cfg.num_cells)) * 0.6, jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got = pk.margin_sort(sal)
+    ref = jax.vmap(quantize.margin_insertion_argsort)(sal)
+    assert np.array_equal(np.asarray(got), np.asarray(ref))
