@@ -31,7 +31,7 @@ from ..ops.blur import PolarTables, blur_profile_bins, vectorize_blur_profile
 from ..ops.colorspace import downsample_rgb, rgb_to_hsv, rgb_to_pgm
 from ..ops.fft import magnitude_fft_normalized
 from ..ops.quantize import OctreeTables, PaletteResult, color_palette
-from ..ops.sharpness import variance_sharpness
+from ..ops.sharpness import variance_sharpness, variance_sharpness_batched
 from ..ops.stats import mean_saturation, rgb_statistics
 
 
@@ -124,7 +124,7 @@ def full_report_batched(rgb: jnp.ndarray, boxes: jnp.ndarray,
     stats = jax.vmap(lambda x: rgb_statistics(x[0], x[1], x[2]))(rgb)
     s_bar = jax.vmap(mean_saturation)(s)
     palette = color_palette_batched(h, s, v, cfg, tables.octree, use_pallas)
-    sharp = jax.vmap(variance_sharpness)(pgm, boxes, boxes_valid)
+    sharp = variance_sharpness_batched(pgm, boxes, boxes_valid)
 
     dc = (stats[:, 0] + stats[:, 1] + stats[:, 2]) / 3.0
     mag = jax.vmap(magnitude_fft_normalized)(pgm - dc[:, None, None])

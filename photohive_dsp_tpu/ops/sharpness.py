@@ -53,3 +53,126 @@ def variance_sharpness(pgm: jnp.ndarray, boxes: jnp.ndarray,
     return jax.vmap(_one_box_sharpness, in_axes=(None, 0, 0))(
         pgm, boxes, boxes_valid
     )
+
+
+def _box_ring_terms(pgm_pad: jnp.ndarray, resp: jnp.ndarray,
+                    box: jnp.ndarray):
+    """Ring corrections for one box: (sum_corr, sum_2rc_plus_c2).
+
+    The global Laplacian response differs from the crop-then-filter response
+    only on the box's 1-px border ring, where the crop's zero padding
+    removes the -1-tap neighbors outside the box:
+    resp_crop(p) = resp_full(p) + corr(p) with
+    corr(p) = sum of pgm over N8(p) outside the box.  corr splits disjointly
+    into a vertical part (neighbor row outside; only rows top/bottom-1) and
+    a horizontal part (neighbor row inside, column outside; only columns
+    left/right-1); the four corner pixels carry both, hence the 2*cV*cH
+    cross terms.  Exact for boxes at least 2 px in each dimension (the
+    caller falls back below that)."""
+    h, w = resp.shape
+    t, b, l, r = box[0], box[1], box[2], box[3]
+    xs = jnp.arange(w)
+    ys = jnp.arange(h)
+
+    # Vertical: pixels in rows t and b-1; outside neighbors are full rows
+    # t-1 and b (padded coordinates shift by +1; image edges read zeros).
+    row_above = jax.lax.dynamic_slice(pgm_pad, (t, 0), (1, w + 2))[0]
+    row_below = jax.lax.dynamic_slice(pgm_pad, (b + 1, 0), (1, w + 2))[0]
+    cv_t = row_above[:-2] + row_above[1:-1] + row_above[2:]      # (W,)
+    cv_b = row_below[:-2] + row_below[1:-1] + row_below[2:]
+    resp_t = jax.lax.dynamic_slice(resp, (t, 0), (1, w))[0]
+    resp_b = jax.lax.dynamic_slice(resp, (jnp.maximum(b - 1, 0), 0),
+                                   (1, w))[0]
+    xin = (xs >= l) & (xs < r)
+    sum_cv = jnp.sum(jnp.where(xin, cv_t + cv_b, 0.0))
+    sum_v = jnp.sum(jnp.where(
+        xin, 2.0 * (resp_t * cv_t + resp_b * cv_b) + cv_t * cv_t
+        + cv_b * cv_b, 0.0))
+
+    # Horizontal: pixels in columns l and r-1; outside neighbors are the
+    # columns l-1 and r restricted to rows inside the box.
+    pad_t = jnp.pad(resp, ((1, 1), (1, 1)))
+    col_left = jax.lax.dynamic_slice(pgm_pad, (0, l), (h + 2, 1))[:, 0]
+    col_right = jax.lax.dynamic_slice(pgm_pad, (0, r + 1), (h + 2, 1))[:, 0]
+
+    def ch_of(col):
+        # ch(y) = col[y-1]*[y-1>=t] + col[y] + col[y+1]*[y+1<b], y in [t,b)
+        mid = col[1:-1]
+        up = jnp.where(ys - 1 >= t, col[:-2], 0.0)
+        dn = jnp.where(ys + 1 < b, col[2:], 0.0)
+        return up + mid + dn                                     # (H,)
+
+    ch_l = ch_of(col_left)
+    ch_r = ch_of(col_right)
+    resp_l = jax.lax.dynamic_slice(pad_t, (1, l + 1), (h, 1))[:, 0]
+    resp_r = jax.lax.dynamic_slice(
+        pad_t, (1, jnp.maximum(r, 1)), (h, 1))[:, 0]
+    yin = (ys >= t) & (ys < b)
+    sum_ch = jnp.sum(jnp.where(yin, ch_l + ch_r, 0.0))
+    sum_h = jnp.sum(jnp.where(
+        yin, 2.0 * (resp_l * ch_l + resp_r * ch_r) + ch_l * ch_l
+        + ch_r * ch_r, 0.0))
+
+    # Corner cross terms 2*cV*cH at the four ring intersections.
+    def at(vec, i):
+        return jax.lax.dynamic_slice(vec, (jnp.maximum(i, 0),), (1,))[0]
+
+    cross = 2.0 * (at(cv_t, l) * at(ch_l, t) + at(cv_t, r - 1) * at(ch_r, t)
+                   + at(cv_b, l) * at(ch_l, b - 1)
+                   + at(cv_b, r - 1) * at(ch_r, b - 1))
+    return sum_cv + sum_ch, sum_v + sum_h + cross
+
+
+def variance_sharpness_batched(pgm: jnp.ndarray, boxes: jnp.ndarray,
+                               boxes_valid: jnp.ndarray) -> jnp.ndarray:
+    """Batched sharpness: (B, H, W) x (B, 10, 4) -> (B, 10).
+
+    The throughput formulation: ONE shared Laplacian pass per image instead
+    of one masked pass per box, per-box sums as separable row/column-mask
+    GEMMs over the shared response (and its square), and the crop-boundary
+    zero-padding reproduced exactly through ring corrections
+    (_box_ring_terms).  Algebraically identical to the reference's
+    crop-then-filter; f32 rounding differs slightly from the masked path
+    (variance via E[x^2]-mu^2 with exact ring algebra), well inside the
+    1e-4 batched-vs-single parity bound.  Falls back to the masked
+    formulation (one whole-batch lax.cond) when any valid box is thinner
+    than 2 px, where ring pieces would overlap."""
+    bsz, h, w = pgm.shape
+
+    def fast(_):
+        resp = jax.vmap(laplacian_3x3)(pgm)                      # (B, H, W)
+        resp2 = resp * resp
+        t, b = boxes[..., 0], boxes[..., 1]                      # (B, 10)
+        l, r = boxes[..., 2], boxes[..., 3]
+        rowm = ((jnp.arange(h)[None, None, :] >= t[..., None])
+                & (jnp.arange(h)[None, None, :] < b[..., None]))
+        colm = ((jnp.arange(w)[None, None, :] >= l[..., None])
+                & (jnp.arange(w)[None, None, :] < r[..., None]))
+        rm = rowm.astype(pgm.dtype)
+        cm = colm.astype(pgm.dtype)
+        hi = jax.lax.Precision.HIGHEST
+
+        def boxsum(a):
+            per_row = jnp.einsum("bhw,bkw->bkh", a, cm, precision=hi)
+            return jnp.einsum("bkh,bkh->bk", per_row, rm, precision=hi)
+
+        s1 = boxsum(resp)
+        s2 = boxsum(resp2)
+        pgm_pad = jnp.pad(pgm, ((0, 0), (1, 1), (1, 1)))
+        ring = jax.vmap(lambda pp, rr, bx: jax.vmap(
+            lambda one: _box_ring_terms(pp, rr, one))(bx))(pgm_pad, resp,
+                                                           boxes)
+        s1 = s1 + ring[0]
+        s2 = s2 + ring[1]
+        n = jnp.maximum((b - t) * (r - l), 1).astype(pgm.dtype)
+        mean = s1 / n
+        var = s2 / n - mean * mean
+        safe_mean = jnp.where(mean == 0, 1.0, mean)
+        return jnp.where(boxes_valid, var / safe_mean, 0.0)
+
+    def masked(_):
+        return jax.vmap(variance_sharpness)(pgm, boxes, boxes_valid)
+
+    thin = boxes_valid & ((boxes[..., 1] - boxes[..., 0] < 2)
+                          | (boxes[..., 3] - boxes[..., 2] < 2))
+    return jax.lax.cond(jnp.any(thin), masked, fast, None)
