@@ -97,6 +97,33 @@ def test_cell_counts_interpret(cfg):
     assert np.array_equal(np.asarray(got), np.asarray(ref))
 
 
+def test_full_pipeline_interpret(cfg):
+    """The fused use_pallas=True report program end to end (kernel wiring,
+    cond branch, batched sharpness) against the XLA path."""
+    from photohive_dsp_tpu.models.pipeline import (ReportTables,
+                                                   full_report_batched)
+    rng = np.random.default_rng(5)
+    tabs = ReportTables.build(240, 320, cfg)
+    rgb = jnp.asarray(rng.random((2, 3, 240, 320)), jnp.float32)
+    boxes = jnp.zeros((2, 10, 4), jnp.int32).at[:, 0].set(
+        jnp.asarray([40, 200, 60, 300], jnp.int32))
+    valid = jnp.zeros((2, 10), bool).at[:, 0].set(True)
+    with pltpu.force_tpu_interpret_mode():
+        fp = full_report_batched(rgb, boxes, valid, tabs, cfg, True)
+    xp = full_report_batched(rgb, boxes, valid, tabs, cfg, False)
+    assert (np.asarray(fp.palette_ids) == np.asarray(xp.palette_ids)).all()
+    assert np.array_equal(np.asarray(fp.palette_pct),
+                          np.asarray(xp.palette_pct))
+    ref_bins = np.asarray(xp.blur_bins)
+    rel = (np.linalg.norm(np.asarray(fp.blur_bins) - ref_bins)
+           / np.linalg.norm(ref_bins))
+    assert rel < 1e-6
+    assert (np.asarray(fp.blur_vector_angles)
+            == np.asarray(xp.blur_vector_angles)).all()
+    assert np.array_equal(np.asarray(fp.sharpness),
+                          np.asarray(xp.sharpness))
+
+
 def test_margin_sort_interpret(cfg):
     rng = np.random.default_rng(4)
     sal = jnp.asarray(np.round(rng.random((4, cfg.num_cells)) * 30)
