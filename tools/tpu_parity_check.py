@@ -114,6 +114,29 @@ def main() -> int:
          == np.asarray(xp.blur_vector_angles)).all()))
     check("pipeline palette ids exact", bool(
         (np.asarray(fp.palette_ids) == np.asarray(xp.palette_ids)).all()))
+    sh_f = np.asarray(fp.sharpness)[:, 0]
+    sh_x = np.asarray(xp.sharpness)[:, 0]
+    sh_rel = np.abs(sh_f - sh_x).max() / max(np.abs(sh_x).max(), 1e-9)
+    check(f"pipeline sharpness close ({sh_rel:.1e})", sh_rel < 1e-4)
+
+    # batched sharpness (shared-response + ring corrections) vs the
+    # per-box masked formulation, on-chip
+    from photohive_dsp_tpu.ops.sharpness import (variance_sharpness,
+                                                 variance_sharpness_batched)
+    pgm = jnp.asarray(rng.random((b, 480, 640)), jnp.float32)
+    bx = np.zeros((b, 10, 4), np.int32)
+    bx[:, 0] = (40, 200, 60, 300)
+    bx[:, 1] = (0, 480, 0, 640)
+    bx[:, 2] = (100, 102, 50, 52)
+    bv = np.zeros((b, 10), bool)
+    bv[:, :3] = True
+    fastsh = np.asarray(jax.jit(variance_sharpness_batched)(
+        pgm, jnp.asarray(bx), jnp.asarray(bv)))
+    refsh = np.asarray(jax.jit(jax.vmap(variance_sharpness))(
+        pgm, jnp.asarray(bx), jnp.asarray(bv)))
+    rel = (np.abs(fastsh - refsh)[bv].max()
+           / max(np.abs(refsh[bv]).max(), 1e-9))
+    check(f"batched sharpness close ({rel:.1e})", rel < 1e-4)
 
     print("ALL OK" if ok else "FAILURES PRESENT")
     return 0 if ok else 1
