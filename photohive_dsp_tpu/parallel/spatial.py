@@ -33,7 +33,7 @@ from ..config import ReportConfig
 from ..models.pipeline import ReportData
 from ..ops import quantize
 from ..ops.blur import vectorize_blur_profile
-from ..ops.colorspace import rgb_to_hsv, rgb_to_pgm
+from ..ops.colorspace import downsample_rgb, rgb_to_hsv, rgb_to_pgm
 from ..ops.geometry import polar_geometry
 from ..ops.quantize import OctreeTables
 from .mesh import DATA_AXIS, SPATIAL_AXIS
@@ -161,7 +161,8 @@ def _sharded_blur_bins(pgm_local: jnp.ndarray, dc: jnp.ndarray,
     return means.reshape(cfg.angle_partitions, cfg.radius_partitions)
 
 
-def spatial_report_body(rgb_local: jnp.ndarray, boxes: jnp.ndarray,
+def spatial_report_body(rgb_local: jnp.ndarray, down_local: jnp.ndarray,
+                        boxes: jnp.ndarray,
                         boxes_valid: jnp.ndarray,
                         pad_index_local: jnp.ndarray,
                         octree: OctreeTables, counts_global: jnp.ndarray,
@@ -169,14 +170,19 @@ def spatial_report_body(rgb_local: jnp.ndarray, boxes: jnp.ndarray,
                         axis_name: str = SPATIAL_AXIS) -> ReportData:
     """Per-shard body computing the full report for one row-sharded image.
 
-    rgb_local: (3, H/n, W).  All outputs are fully reduced (identical on
-    every shard of the axis).
+    rgb_local:  (3, H/n, W) full-resolution rows (stats, sharpness, blur).
+    down_local: (3, H'/n, W') rows of the decimated image (palette, mean
+                saturation); the same array as rgb_local when
+                downsample_rate == 1.  The decimation itself happens
+                outside the shard_map (its stride-(rate-1) row pick is not
+                aligned with row shards), and GSPMD reshards the small
+                result.  All outputs are fully reduced (identical on every
+                shard of the axis).
     """
-    if cfg.downsample_rate > 1:
-        raise NotImplementedError(
-            "spatially-sharded path supports downsample_rate=1; use the "
-            "data-parallel path for decimated configs")
     total = height * width
+    # static: decimated rows per shard x n_shards x decimated width
+    d_total = (down_local.shape[1] * jax.lax.psum(1, axis_name)
+               * down_local.shape[2])
     local_h = rgb_local.shape[1]
     idx = jax.lax.axis_index(axis_name)
     row_offset = idx * local_h
@@ -190,19 +196,19 @@ def spatial_report_body(rgb_local: jnp.ndarray, boxes: jnp.ndarray,
             for i in range(3)]
     stats = jnp.stack(means + stds)
 
-    h, s, v = rgb_to_hsv(rgb_local[0], rgb_local[1], rgb_local[2])
+    h, s, v = rgb_to_hsv(down_local[0], down_local[1], down_local[2])
     pgm = rgb_to_pgm(rgb_local[0], rgb_local[1], rgb_local[2])
-    s_bar = gmean(s)
+    s_bar = jax.lax.psum(jnp.sum(s), axis_name) / d_total
 
     # palette: psum histogram -> replicated selection -> psum pixel sums
     cells = quantize.assign_cells(h, s, v, cfg).reshape(-1)
     counts = jax.lax.psum(quantize.cell_counts(cells, cfg.num_cells),
                           axis_name)
-    assign = quantize.parent_assignment(counts, total, cfg, octree)
+    assign = quantize.parent_assignment(counts, d_total, cfg, octree)
     sums = jax.lax.psum(
         quantize.palette_pixel_sums(h, s, v, cells, assign, cfg, octree),
         axis_name)
-    palette = quantize.palette_finalize(sums, assign, total, octree)
+    palette = quantize.palette_finalize(sums, assign, d_total, octree)
 
     sharp = _sharded_sharpness(pgm, boxes, boxes_valid, row_offset,
                                axis_name)
@@ -231,28 +237,35 @@ def build_spatial_report(mesh: Mesh, height: int, width: int,
     n = mesh.shape[SPATIAL_AXIS]
     if height % n != 0:
         raise ValueError(f"height {height} must divide by spatial={n}")
+    if cfg.downsample_rate > 1 and (height // cfg.downsample_rate) % n != 0:
+        raise ValueError(
+            f"decimated height {height // cfg.downsample_rate} must divide "
+            f"by spatial={n}")
     tabs = sharded_polar_tables(height, width, cfg.angle_partitions,
                                 cfg.radius_partitions, n)
     octree = OctreeTables.for_config(cfg)
     pad_all = jnp.asarray(tabs.pad_index)
     counts_g = jnp.asarray(tabs.counts)
 
-    def body(rgb_loc, boxes, valid, pad_loc, octree_t, counts):
-        return spatial_report_body(rgb_loc, boxes, valid, pad_loc[0],
-                                   octree_t, counts, tabs.wc, height, width,
-                                   cfg, SPATIAL_AXIS)
+    def body(rgb_loc, down_loc, boxes, valid, pad_loc, octree_t, counts):
+        return spatial_report_body(rgb_loc, down_loc, boxes, valid,
+                                   pad_loc[0], octree_t, counts, tabs.wc,
+                                   height, width, cfg, SPATIAL_AXIS)
 
     shard_fn = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(None, SPATIAL_AXIS, None), P(), P(),
-                  P(SPATIAL_AXIS), P(), P()),
+        in_specs=(P(None, SPATIAL_AXIS, None), P(None, SPATIAL_AXIS, None),
+                  P(), P(), P(SPATIAL_AXIS), P(), P()),
         out_specs=P(),
         check_vma=False,
     )
 
     @jax.jit
     def run(rgb, boxes, valid):
-        return shard_fn(rgb, boxes, valid, pad_all, octree, counts_g)
+        # Decimation happens at jit level: its stride-(rate-1) row pick is
+        # not shard-aligned, so GSPMD inserts the (tiny) reshard collective.
+        down = downsample_rgb(rgb, cfg.downsample_rate)
+        return shard_fn(rgb, down, boxes, valid, pad_all, octree, counts_g)
 
     return run
 
@@ -271,22 +284,28 @@ def build_dp_spatial_report(mesh: Mesh, batch: int, height: int, width: int,
         raise ValueError(f"batch {batch} must divide by data={nd}")
     if height % ns != 0:
         raise ValueError(f"height {height} must divide by spatial={ns}")
+    if cfg.downsample_rate > 1 and (height // cfg.downsample_rate) % ns != 0:
+        raise ValueError(
+            f"decimated height {height // cfg.downsample_rate} must divide "
+            f"by spatial={ns}")
     tabs = sharded_polar_tables(height, width, cfg.angle_partitions,
                                 cfg.radius_partitions, ns)
     octree = OctreeTables.for_config(cfg)
     pad_all = jnp.asarray(tabs.pad_index)
     counts_g = jnp.asarray(tabs.counts)
 
-    def body(rgb_loc, boxes, valid, pad_loc, octree_t, counts):
-        def one(rgb_i, boxes_i, valid_i):
-            return spatial_report_body(rgb_i, boxes_i, valid_i, pad_loc[0],
-                                       octree_t, counts, tabs.wc, height,
-                                       width, cfg, SPATIAL_AXIS)
-        return jax.vmap(one)(rgb_loc, boxes, valid)
+    def body(rgb_loc, down_loc, boxes, valid, pad_loc, octree_t, counts):
+        def one(rgb_i, down_i, boxes_i, valid_i):
+            return spatial_report_body(rgb_i, down_i, boxes_i, valid_i,
+                                       pad_loc[0], octree_t, counts,
+                                       tabs.wc, height, width, cfg,
+                                       SPATIAL_AXIS)
+        return jax.vmap(one)(rgb_loc, down_loc, boxes, valid)
 
     shard_fn = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(DATA_AXIS, None, SPATIAL_AXIS, None),
+                  P(DATA_AXIS, None, SPATIAL_AXIS, None),
                   P(DATA_AXIS), P(DATA_AXIS), P(SPATIAL_AXIS), P(), P()),
         out_specs=P(DATA_AXIS),
         check_vma=False,
@@ -294,6 +313,8 @@ def build_dp_spatial_report(mesh: Mesh, batch: int, height: int, width: int,
 
     @jax.jit
     def run(rgb, boxes, valid):
-        return shard_fn(rgb, boxes, valid, pad_all, octree, counts_g)
+        down = jax.vmap(
+            lambda x: downsample_rgb(x, cfg.downsample_rate))(rgb)
+        return shard_fn(rgb, down, boxes, valid, pad_all, octree, counts_g)
 
     return run

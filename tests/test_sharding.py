@@ -95,6 +95,25 @@ def test_dp_spatial_full_step(single_device_report):
         _assert_reports_match(ref, one)
 
 
+def test_spatial_report_downsampled_matches_single_device():
+    """downsample_rate=2: decimation happens at jit level (the reference's
+    stride-(rate-1) row pick is not shard-aligned) and the decimated image
+    reshards onto the spatial axis for the palette/saturation stages."""
+    cfg = ph.ReportConfig(downsample_rate=2)
+    img = structured_image(480, 640, seed=7)
+    boxes, valid = ph.set_bounding_boxes([
+        dict(top=40, bottom=200, left=60, right=300),
+    ])
+    fn0, tables = jitted_full_report(480, 640, cfg)
+    ref = fn0(jnp.asarray(img, jnp.float32), jnp.asarray(boxes),
+              jnp.asarray(valid), tables)
+    m = meshlib.make_mesh(data=1, spatial=8)   # 480/2=240 divides 8
+    fn = build_spatial_report(m, 480, 640, cfg)
+    ours = fn(jnp.asarray(img, jnp.float32), jnp.asarray(boxes),
+              jnp.asarray(valid))
+    _assert_reports_match(ref, ours)
+
+
 def test_halo_exchange_box_on_boundary():
     """A 2-row-tall box straddling a shard boundary must match exactly."""
     img = structured_image(480, 640, seed=13)
