@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import collections
 import functools
+import os
 from typing import Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
 
 import jax
@@ -22,14 +23,21 @@ from ..config import MAX_CROP_BOXES, ReportConfig
 from .pipeline import ReportData, ReportTables, full_report
 
 
+def _want_pallas() -> bool:
+    """TPU fast path unless disabled (PHOTOHIVE_NO_PALLAS=1 is the
+    operational kill switch: the XLA path computes identical reports)."""
+    if os.environ.get("PHOTOHIVE_NO_PALLAS"):
+        return False
+    return jax.default_backend() not in ("cpu",)
+
+
 @functools.lru_cache(maxsize=32)
 def _compiled_batch_fn(height: int, width: int, cfg: ReportConfig):
     from .pipeline import full_report_batched
 
     tables = ReportTables.build(height, width, cfg)
-    use_pallas = jax.default_backend() not in ("cpu",)
     fn = jax.jit(functools.partial(full_report_batched, cfg=cfg,
-                                   use_pallas=use_pallas))
+                                   use_pallas=_want_pallas()))
     return fn, tables
 
 
@@ -41,7 +49,7 @@ def _compiled_u8_batch_fn(height: int, width: int, cfg: ReportConfig):
     from .pipeline import full_report_batched
 
     tables = ReportTables.build(height, width, cfg)
-    use_pallas = jax.default_backend() not in ("cpu",)
+    use_pallas = _want_pallas()
 
     def fn(u8, boxes, valid, tables):
         rgb = jnp.moveaxis(u8, -1, 1).astype(jnp.float32) / 255.0
