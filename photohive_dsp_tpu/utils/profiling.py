@@ -113,6 +113,10 @@ def print_stage_timings(height: int = 1080, width: int = 1920,
         print(f"  {name} took {t:.6f} seconds to execute")
     full = timings["full report (fused)"]
     print(f"  => fused throughput {mp / full:.1f} MP/s")
+    print("  (per-stage numbers run as separate executables and can carry "
+          "30-50 ms\n   dispatch overhead each; for decision-grade stage "
+          "costs use\n   tools/ablate_stages.py, which measures fused-"
+          "program deltas)")
 
 
 @contextlib.contextmanager
