@@ -19,6 +19,23 @@ from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
+
+def _honor_platform_env() -> None:
+    """Make JAX_PLATFORMS=cpu actually select CPU.
+
+    This environment's sitecustomize pins jax_platforms to the TPU plugin
+    AFTER env-var resolution, so the standard env var silently loses; any
+    script relying on it then dials the (possibly unreachable) TPU tunnel.
+    Re-assert the user's explicit choice at import."""
+    import os
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+
+_honor_platform_env()
+
+
 def _enable_compilation_cache() -> None:
     """Persist XLA/Mosaic compilations across processes.
 
