@@ -102,3 +102,12 @@ def test_variance_sharpness(img):
     # with a relative tolerance rather than SNR.
     np.testing.assert_allclose(ours[:3], ref, rtol=2e-2)
     assert np.all(ours[3:] == 0.0)
+
+    # The batched shared-response + ring-correction formulation must agree
+    # with the same float64 golden directly (not only with the masked path).
+    fast = np.asarray(sharpness.variance_sharpness_batched(
+        jnp.asarray(pgm64, jnp.float32)[None], jnp.asarray(boxes)[None],
+        jnp.asarray(valid)[None]))[0]
+    np.testing.assert_allclose(fast[:3], ref, rtol=2e-2)
+    np.testing.assert_allclose(fast[:3], ours[:3], rtol=1e-4)
+    assert np.all(fast[3:] == 0.0)
