@@ -95,6 +95,30 @@ def main() -> int:
     hsv_err = np.abs(np.asarray(fast.hsv) - np.asarray(slow.hsv)).max()
     check(f"palette hsv close ({hsv_err:.1e})", hsv_err < 5e-3)
 
+    # wide-branch palette kernel (q=40): random images take the narrow q=8
+    # cond branch, so compile+check the full-width Mosaic variant directly
+    from photohive_dsp_tpu.ops.geometry import octree_geometry
+    q_full = max(8, -(-octree_geometry(cfg).max_tie_candidates // 8) * 8)
+    if q_full > 8:
+        c = cfg.num_cells
+        cells = jax.vmap(lambda a, b2, c2: quantize.assign_cells(
+            a, b2, c2, cfg))(h, s, v).reshape(b, -1)
+        counts = jax.vmap(lambda x: quantize.cell_counts(x, c))(cells)
+        assign = jax.vmap(lambda cnt: quantize.parent_assignment(
+            cnt, 480 * 640, cfg, tables))(counts)
+        luts = jax.vmap(lambda a: pk.palette_candidate_lut(
+            a, tables, c, q_full))(assign)
+        wide = jax.jit(lambda *a: pk.palette_sums_by_k(*a, c, q_full))(
+            h.reshape(b, -1), s.reshape(b, -1), v.reshape(b, -1), cells,
+            luts)
+        ref_sums = jax.jit(jax.vmap(
+            lambda hh, ss, vv, cc2, a: quantize.palette_pixel_sums(
+                hh, ss, vv, cc2, a, cfg, tables)[a.order]))(
+            h.reshape(b, 480, 640), s.reshape(b, 480, 640),
+            v.reshape(b, 480, 640), cells, assign)
+        check("wide palette kernel counts exact", bool(np.array_equal(
+            np.asarray(wide[..., 3]), np.asarray(ref_sums[..., 3]))))
+
     # full pipeline
     rgb = jnp.asarray(rng.random((b, 3, 480, 640)), jnp.float32)
     boxes = jnp.zeros((b, 10, 4), jnp.int32).at[:, 0].set(
