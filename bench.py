@@ -1,7 +1,22 @@
 """Benchmark: full-report throughput in megapixels/s on one chip.
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "MP/s", "vs_baseline": N}
+Prints exactly ONE JSON line on stdout (the driver contract):
+  {"metric": "...", "value": N, "unit": "MP/s", "vs_baseline": N, ...}
+
+Driver-survivability design (round-1 failure mode was rc=124, no number):
+  1. *Pre-flight*: a subprocess probes the backend (import jax + tiny
+     matmul) under a hard timeout.  A dead/hung backend costs at most the
+     probe timeout, after which the last-good cached number is emitted
+     (flagged "degraded") and we exit 0 — the driver always gets a line.
+  2. *Supervised measurement*: the measurement runs in a child process the
+     parent kills at the deadline (SIGALRM cannot interrupt a blocking XLA
+     compile, so the deadline must be external).  On expiry/death the
+     cached number is printed instead.
+  3. *In-process fallback*: a Pallas compile/runtime failure rebuilds the
+     jit program with the XLA path in the same child (identical reports,
+     slower) instead of re-executing a fresh interpreter.
+  4. On success the result is written to BENCH_LAST_GOOD.json for future
+     degraded rounds.
 
 Measures the on-device compute path: uint8 1080p batches (with crop boxes)
 resident on the chip, full report pipeline per batch, a small result leaf
@@ -10,9 +25,13 @@ a ~1.2 GB/s network tunnel, so host->device streaming is tunnel-bound here;
 on a real TPU host the PCIe link sustains the ~60 MB per uint8 batch easily
 and the corpus driver overlaps uploads with compute.)
 
-Baseline: the reference C library's published per-stage timings sum to
-~1.73 s per image on a 12-core CPU (reference README.md:63-75; BASELINE.md);
-at the 2 MP (1080p-class) reading that is ~1.19 MP/s.
+Baselines reported:
+  * vs_baseline: against the reference C library's published per-stage
+    timings (~1.73 s per image on a 12-core CPU => ~1.19 MP/s at 1080p;
+    reference README.md:63-75, BASELINE.md).
+  * roofline_frac: measured MP/s over the analytic per-chip ceiling from
+    tools/roofline.py (min-HBM-traffic / VPU-op / MXU-flop model with
+    microbenchmarked resource rates).  See that module for the model.
 """
 
 from __future__ import annotations
@@ -27,62 +46,216 @@ import numpy as np
 
 REFERENCE_MPS = 2.0736 / 1.73  # 1920x1080 MP / published total seconds
 
+REPO = os.path.dirname(os.path.abspath(__file__))
+LAST_GOOD = os.path.join(REPO, "BENCH_LAST_GOOD.json")
 
-def main() -> None:
+BUDGET_S = float(os.environ.get("PHOTOHIVE_BENCH_BUDGET_S", "840"))
+PROBE_TIMEOUT_S = float(os.environ.get("PHOTOHIVE_BENCH_PROBE_S", "300"))
+
+HEIGHT, WIDTH, BATCH = 1080, 1920, 32
+
+
+def emit(payload: dict) -> None:
+    """The one stdout JSON line.  Everything else goes to stderr."""
+    print(json.dumps(payload), flush=True)
+
+
+def emit_degraded(reason: str) -> None:
+    try:
+        with open(LAST_GOOD) as f:
+            cached = json.load(f)
+        cached["degraded"] = reason
+        emit(cached)
+    except (OSError, ValueError):
+        emit({"metric": "full_report_throughput_1080p", "value": 0.0,
+              "unit": "MP/s", "vs_baseline": 0.0, "degraded": reason})
+
+
+def preflight() -> bool:
+    """Probe the backend in a subprocess so a hung runtime can't eat the
+    whole budget.  Returns True if a device ran a matmul."""
+    code = (
+        "import os, jax;"
+        "jax.config.update('jax_platforms', 'cpu') "
+        "if os.environ.get('JAX_PLATFORMS') == 'cpu' else None;"
+        "import jax.numpy as jnp;"
+        "x = jnp.ones((128, 128));"
+        "(x @ x).block_until_ready();"
+        "print('PREFLIGHT_OK', jax.devices()[0].platform)"
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=PROBE_TIMEOUT_S)
+    except subprocess.TimeoutExpired:
+        print(f"preflight timed out after {PROBE_TIMEOUT_S:.0f}s",
+              file=sys.stderr)
+        return False
+    ok = "PREFLIGHT_OK" in out.stdout
+    if not ok:
+        print(f"preflight failed rc={out.returncode}: "
+              f"{out.stderr[-500:]}", file=sys.stderr)
+    else:
+        print(f"preflight ok: {out.stdout.strip()}", file=sys.stderr)
+    return ok
+
+
+def build_fn(cfg, height, width, use_pallas):
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from photohive_dsp_tpu.models.pipeline import (ReportTables,
+                                                   full_report_batched)
+
+    tables = ReportTables.build(height, width, cfg)
+
+    @jax.jit
+    def fn(u8, boxes, valid):
+        rgb = jnp.moveaxis(u8, -1, 1).astype(jnp.float32) / 255.0
+        return full_report_batched(rgb, boxes, valid, tables, cfg,
+                                   use_pallas)
+
+    return fn
+
+
+def measure(deadline: float) -> dict:
     import jax
 
     from photohive_dsp_tpu import ReportConfig
-    from photohive_dsp_tpu.models.batch import BatchRunner
 
-    height, width, batch = 1080, 1920, 32
-    iters = 8
     cfg = ReportConfig()
-    runner = BatchRunner(cfg)
+    platform = jax.devices()[0].platform
+    use_pallas = platform not in ("cpu",) and \
+        not os.environ.get("PHOTOHIVE_NO_PALLAS")
 
     rng = np.random.default_rng(0)
     frames = [
-        jax.device_put(rng.integers(0, 256, (batch, height, width, 3),
+        jax.device_put(rng.integers(0, 256, (BATCH, HEIGHT, WIDTH, 3),
                                     dtype=np.uint8))
         for _ in range(2)
     ]
-    boxes = np.zeros((batch, 10, 4), np.int32)
+    boxes = np.zeros((BATCH, 10, 4), np.int32)
     boxes[:, 0] = (100, 500, 200, 900)
     boxes[:, 1] = (400, 900, 600, 1500)
-    valid = np.zeros((batch, 10), bool)
+    valid = np.zeros((BATCH, 10), bool)
     valid[:, :2] = True
     dboxes, dvalid = jax.device_put(boxes), jax.device_put(valid)
 
-    # warmup / compile
-    out = runner.run_u8(frames[0], dboxes, dvalid)
-    np.asarray(out.blur_bins)
+    def warm(use_pallas):
+        fn = build_fn(cfg, HEIGHT, WIDTH, use_pallas)
+        out = fn(frames[0], dboxes, dvalid)
+        np.asarray(out.blur_bins)  # sync (NamedTuple block_until_ready
+        return fn                  # was seen returning early; CLAUDE.md)
+
+    t0 = time.perf_counter()
+    try:
+        fn = warm(use_pallas)
+    except Exception as exc:  # noqa: BLE001 — Pallas compile/runtime
+        if not use_pallas:
+            raise
+        print(f"pallas path failed ({type(exc).__name__}: {exc}); "
+              "falling back to XLA in-process", file=sys.stderr)
+        use_pallas = False
+        fn = warm(False)
+    compile_s = time.perf_counter() - t0
+    print(f"warmup+compile {compile_s:.1f}s (pallas={use_pallas})",
+          file=sys.stderr)
+
+    # One probe iteration sizes the loop to the remaining budget.
+    t0 = time.perf_counter()
+    out = fn(frames[1], dboxes, dvalid)
+    np.asarray(out.rgb_stats)
+    iter_s = time.perf_counter() - t0
+    remaining = deadline - time.perf_counter() - 10.0
+    iters = int(max(3, min(16, remaining * 0.6 / max(iter_s, 1e-3))))
+    print(f"probe iter {iter_s * 1e3:.1f} ms -> {iters} timed iters",
+          file=sys.stderr)
 
     t0 = time.perf_counter()
     for i in range(iters):
-        out = runner.run_u8(frames[i % 2], dboxes, dvalid)
+        out = fn(frames[i % 2], dboxes, dvalid)
         np.asarray(out.rgb_stats)  # sync the step
     np.asarray(out.blur_bins)
     dt = time.perf_counter() - t0
 
-    mps = batch * height * width / 1e6 * iters / dt
-    print(json.dumps({
+    mps = BATCH * HEIGHT * WIDTH / 1e6 * iters / dt
+    result = {
         "metric": "full_report_throughput_1080p",
         "value": round(mps, 3),
         "unit": "MP/s",
         "vs_baseline": round(mps / REFERENCE_MPS, 2),
-    }))
+        "platform": platform,
+        "pallas": use_pallas,
+        "batch": BATCH,
+        "iters": iters,
+    }
+
+    # Roofline accounting (cheap; skipped if the deadline is close).
+    if deadline - time.perf_counter() > 30.0:
+        try:
+            from tools.roofline import roofline_report
+            roof = roofline_report(HEIGHT, WIDTH, measure_rates=True)
+            result["roofline_mps"] = round(roof["roofline_mps"], 1)
+            result["roofline_frac"] = round(mps / roof["roofline_mps"], 4)
+            result["roofline_bound"] = roof["bound"]
+            print("roofline:", json.dumps(roof), file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001 — never lose the number
+            print(f"roofline skipped: {type(exc).__name__}: {exc}",
+                  file=sys.stderr)
+    return result
+
+
+def child_main() -> None:
+    """Runs in the supervised child: measure + print the JSON line."""
+    deadline = time.perf_counter() + \
+        float(os.environ.get("PHOTOHIVE_BENCH_CHILD_S", BUDGET_S))
+    try:
+        result = measure(deadline)
+    except Exception as exc:  # noqa: BLE001
+        print(f"measurement failed: {type(exc).__name__}: {exc}",
+              file=sys.stderr)
+        sys.exit(3)
+    try:
+        with open(LAST_GOOD, "w") as f:
+            json.dump(result, f)
+    except OSError:
+        pass
+    emit(result)
+
+
+def main() -> None:
+    start = time.perf_counter()
+    deadline = start + BUDGET_S
+
+    if not preflight():
+        emit_degraded("backend preflight failed/timed out")
+        return
+
+    remaining = deadline - time.perf_counter() - 5.0
+    env = dict(os.environ, PHOTOHIVE_BENCH_CHILD_S=str(remaining))
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--measure"],
+            capture_output=True, text=True, timeout=remaining, env=env)
+    except subprocess.TimeoutExpired as exc:
+        sys.stderr.write((exc.stderr or b"").decode("utf-8", "replace")
+                         if isinstance(exc.stderr, bytes)
+                         else (exc.stderr or ""))
+        emit_degraded("deadline expired mid-measurement")
+        return
+    sys.stderr.write(out.stderr)
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    if out.returncode == 0 and lines:
+        print(lines[-1], flush=True)
+    else:
+        emit_degraded(f"measurement child failed rc={out.returncode}")
 
 
 if __name__ == "__main__":
-    if os.environ.get("PHOTOHIVE_NO_PALLAS"):
-        main()  # already the fallback run
+    sys.path.insert(0, REPO)
+    if "--measure" in sys.argv:
+        child_main()
     else:
-        try:
-            main()
-        except Exception as exc:  # noqa: BLE001 — any fast-path failure
-            # Safety net: the XLA path computes identical reports, so a
-            # Pallas compile/runtime failure should degrade the number,
-            # not zero it.  Fresh subprocess so nothing cached survives.
-            print(f"fast path failed ({type(exc).__name__}: {exc}); "
-                  "re-running with PHOTOHIVE_NO_PALLAS=1", file=sys.stderr)
-            env = dict(os.environ, PHOTOHIVE_NO_PALLAS="1")
-            sys.exit(subprocess.call([sys.executable, __file__], env=env))
+        main()

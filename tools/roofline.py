@@ -1,0 +1,195 @@
+"""Analytic per-chip roofline for the full-report pipeline.
+
+BASELINE.json's north star is ">=80% of roofline MP/s/chip".  This module
+derives that ceiling from the *specified algorithm* (the reference's
+semantics, not our implementation) under a three-resource model:
+
+  t_roofline = max(t_HBM, t_VPU, t_MXU)        (perfect overlap assumed)
+  roofline MP/s = pixels / t_roofline
+
+Resource counts per pixel (1080p-class, downsample_rate=1, the bench shape):
+
+* HBM bytes — minimum traffic for an ideal fully-fused implementation:
+    read u8 HWC image once (hsv+pgm+stats fused)          3 B
+    write full-res PGM f32 (kept for FFT after sharpness)  4 B
+    FFT read PGM + write half-spectrum mag^2 f32           4 + 4 B
+    read spectrum for log-normalize + polar binning        4 B
+    re-read u8 for the palette per-pixel pass (recompute
+    HSV on the fly after parent selection)                 3 B
+  total ~= 22 B/px.  Everything else (bins, palette tables, stats) is
+  O(cells) not O(pixels).
+
+* VPU ops — elementwise work the algorithm mandates per pixel
+  (reference semantics; counts are documented estimates):
+    planarize + /255                                       6
+    rgb2hsv incl. clamps/branches (image_processing.c:372) 25
+    luma (image_processing.c:505)                          5
+    per-channel mean/var accumulation (filtering.c:125)    12
+    mean saturation                                        1
+    HSV cell assignment (color_quantization.c:129-145)     15
+    per-pixel parent distances, Q~=8 typical valid parents
+    x ~12 ops each (color_quantization.c:411-451)          96
+    DC removal (blur_profile.c:233)                        1
+    log-normalize, half-spectrum (fft_processing.c:196)    4
+    polar bin accumulate, half-spectrum (blur_profile.c:94) 3
+  total ~= 168 ops/px.
+
+* MXU flops — the FFT is the only dense-math stage the algorithm
+  requires: ~5*P*(log2 W + log2 H) ~= 105 flops/px at 1080p.
+
+Resource rates are microbenchmarked on the live chip when
+``measure_rates=True`` (copy kernel for HBM, non-collapsible fma chain for
+VPU, large bf16 matmul for MXU) and cached per device kind; datasheet
+values are the fallback.
+
+The honest conclusion this model yields on v5e-class chips: the pipeline
+ceiling is ~35-40 GP/s, bound by HBM/VPU in roughly equal measure, and the
+measured throughput sits far below it because the *parity-exact* palette
+kernel does ~10-20x the per-pixel VPU work of the idealized count (exact
+insertion-sort emulation, float64-rank tie detection, candidate-table
+scans) — see SPEED.md for the measured stage decomposition and the
+documented gap argument.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict
+
+RATES_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           ".roofline_rates.json")
+
+# Datasheet fallbacks: device-kind substring -> (HBM B/s, bf16 FLOP/s,
+# est. VPU elementwise op/s).  VPU figures are estimates (the public specs
+# do not quote VPU throughput); the microbenchmark overrides them.
+DATASHEET = {
+    "v5 lite": (819e9, 197e12, 4e12),
+    "v5e": (819e9, 197e12, 4e12),
+    "v5p": (2765e9, 459e12, 8e12),
+    "v4": (1228e9, 275e12, 4e12),
+    "v6": (1638e9, 918e12, 8e12),
+    "cpu": (50e9, 1e12, 0.2e12),
+}
+
+BYTES_PER_PX = 22.0
+VPU_OPS_PER_PX = 168.0
+
+
+def _mxu_flops_per_px(height: int, width: int) -> float:
+    import math
+
+    return 5.0 * (math.log2(width) + math.log2(height))
+
+
+def _datasheet_rates(kind: str):
+    kind_l = kind.lower()
+    for key, rates in DATASHEET.items():
+        if key in kind_l:
+            return rates
+    return DATASHEET["v5e"]
+
+
+def measure_device_rates() -> Dict[str, float]:
+    """Microbenchmark HBM/VPU/MXU rates on the default device (cached)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    kind = jax.devices()[0].device_kind
+    try:
+        with open(RATES_CACHE) as f:
+            cache = json.load(f)
+        if cache.get("kind") == kind:
+            return cache
+    except (OSError, ValueError):
+        pass
+
+    def timed(f, *args, iters=8):
+        out = f(*args)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = f(*args)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / iters
+
+    # HBM: streaming scale (read 4 B + write 4 B per element).
+    n = 32 * 1024 * 1024
+    x = jnp.ones((n,), jnp.float32)
+    t = timed(jax.jit(lambda x: x * 1.0000001 + 1.0), x)
+    hbm = 8.0 * n / t
+
+    # VPU: 64-deep fma chain that re-reads x each step (not collapsible
+    # into a single affine op), 128 flops/element, small enough footprint
+    # that HBM is not the bound.
+    def chain(x):
+        y = x
+        for _ in range(64):
+            y = y * 0.9990234375 + x
+        return y
+
+    m = 8 * 1024 * 1024
+    xm = jnp.ones((m,), jnp.float32)
+    t = timed(jax.jit(chain), xm)
+    vpu = 128.0 * m / t
+
+    # MXU: 4096^3 bf16 matmul.
+    k = 4096
+    a = jnp.ones((k, k), jnp.bfloat16)
+    t = timed(jax.jit(lambda a: a @ a), a, iters=4)
+    mxu = 2.0 * k ** 3 / t
+
+    rates = {"kind": kind, "hbm": hbm, "vpu": vpu, "mxu": mxu}
+    try:
+        with open(RATES_CACHE, "w") as f:
+            json.dump(rates, f)
+    except OSError:
+        pass
+    return rates
+
+
+def roofline_report(height: int, width: int,
+                    measure_rates: bool = False) -> Dict:
+    """Ceiling MP/s for the full-report pipeline at (height, width)."""
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    if measure_rates and jax.devices()[0].platform != "cpu":
+        r = measure_device_rates()
+        hbm, mxu, vpu = r["hbm"], r["mxu"], r["vpu"]
+        source = "measured"
+    else:
+        hbm, mxu, vpu = _datasheet_rates(kind)
+        source = "datasheet"
+
+    mxu_px = _mxu_flops_per_px(height, width)
+    t_px = {
+        "hbm": BYTES_PER_PX / hbm,
+        "vpu": VPU_OPS_PER_PX / vpu,
+        "mxu": mxu_px / mxu,
+    }
+    bound = max(t_px, key=t_px.get)
+    roofline_mps = 1e-6 / t_px[bound]
+    return {
+        "device_kind": kind,
+        "rates_source": source,
+        "hbm_gbps": round(hbm / 1e9, 1),
+        "vpu_tops": round(vpu / 1e12, 2),
+        "mxu_tflops": round(mxu / 1e12, 1),
+        "bytes_per_px": BYTES_PER_PX,
+        "vpu_ops_per_px": VPU_OPS_PER_PX,
+        "mxu_flops_per_px": round(mxu_px, 1),
+        "bound": bound,
+        "roofline_mps": roofline_mps,
+    }
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    print(json.dumps(roofline_report(1080, 1920, measure_rates=True),
+                     indent=2))
