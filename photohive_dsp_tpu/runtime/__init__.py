@@ -7,6 +7,7 @@ back to numpy implementations when the toolchain is unavailable.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -15,9 +16,15 @@ from typing import Optional
 _HERE = os.path.dirname(__file__)
 _SRC = os.path.join(_HERE, "native.cpp")
 _SO = os.path.join(_HERE, "_phnative.so")
+_STAMP = _SO + ".srchash"
 _lock = threading.Lock()
 _lib = None
 _tried = False
+
+
+def _src_hash() -> str:
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
 
 
 def _build() -> bool:
@@ -26,10 +33,24 @@ def _build() -> bool:
             subprocess.run(
                 [cc, "-O2", "-shared", "-fPIC", _SRC, "-o", _SO],
                 check=True, capture_output=True, timeout=120)
+            with open(_STAMP, "w") as f:
+                f.write(_src_hash())
             return True
         except (OSError, subprocess.SubprocessError):
             continue
     return False
+
+
+def _stale() -> bool:
+    # Source-hash staleness (not mtime: a fresh git checkout gives the
+    # source and a stray stale binary identical mtimes).
+    if not os.path.exists(_SO):
+        return True
+    try:
+        with open(_STAMP) as f:
+            return f.read().strip() != _src_hash()
+    except OSError:
+        return True
 
 
 def get_native():
@@ -39,8 +60,7 @@ def get_native():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO) or (
-                os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+        if _stale():
             if not _build():
                 return None
         try:

@@ -122,6 +122,30 @@ class Watermark:
         return str(key) in self.done
 
 
+def _recover_shard(out_path: str) -> set:
+    """Keys already present in a JSONL shard, after truncating any torn
+    trailing line left by a crash mid-write.
+
+    Reports are written before the watermark advances (at-least-once), so
+    a crash inside the flush window leaves lines the watermark doesn't
+    know about; skipping keys found here makes re-runs exactly-once."""
+    keys = set()
+    if not os.path.exists(out_path):
+        return keys
+    with open(out_path, "rb+") as f:
+        data = f.read()
+        if data and not data.endswith(b"\n"):
+            cut = data.rfind(b"\n") + 1
+            f.truncate(cut)
+            data = data[:cut]
+    for line in data.splitlines():
+        try:
+            keys.add(str(json.loads(line)["key"]))
+        except (ValueError, KeyError):
+            continue  # unparseable line: the image will be re-emitted
+    return keys
+
+
 def process_corpus(paths: Iterable[str], output_dir: str,
                    cfg: Optional[ReportConfig] = None, mesh=None,
                    batch_size: int = 32, num_hosts: int = 1,
@@ -129,15 +153,20 @@ def process_corpus(paths: Iterable[str], output_dir: str,
     """Stream a corpus of image files into JSONL report shards, resumably.
 
     Returns the number of images processed this invocation.  Re-running
-    after an interruption skips completed images via the watermark.
+    after an interruption skips completed images via the watermark and
+    the output shard itself (exactly-once output: reports written in the
+    window between a flush and the watermark advance are detected by
+    ``_recover_shard`` and not re-emitted).
     """
     cfg = cfg or ReportConfig()
     os.makedirs(output_dir, exist_ok=True)
     wm = Watermark(os.path.join(output_dir, f"watermark.{host_id}"))
     out_path = os.path.join(output_dir, f"reports.{host_id}.jsonl")
+    emitted = _recover_shard(out_path)
 
     my_paths = [p for i, p in enumerate(sorted(paths))
-                if i % num_hosts == host_id and p not in wm]
+                if i % num_hosts == host_id
+                and p not in wm and str(p) not in emitted]
 
     shapes = {}
 
