@@ -90,3 +90,10 @@ def downsample_rgb(rgb: jnp.ndarray, rate: int) -> jnp.ndarray:
     rows = jnp.arange(new_h) * (rate - 1)
     cols = jnp.arange(new_w) * rate
     return rgb[:, rows][:, :, cols]
+
+
+def pgm_to_rgb(pgm: jnp.ndarray) -> jnp.ndarray:
+    """Grayscale -> (3, H, W) by channel replication (reference
+    src/image_processing.c:515-524).  Dev/viz utility, not on the report
+    path."""
+    return jnp.broadcast_to(pgm[None], (3,) + pgm.shape)

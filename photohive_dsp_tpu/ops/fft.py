@@ -34,3 +34,25 @@ def normalize_fft(mag_sq: jnp.ndarray) -> jnp.ndarray:
 def magnitude_fft_normalized(pgm_dc_removed: jnp.ndarray) -> jnp.ndarray:
     """compute_magnitude_fft equivalent (reference src/fft_processing.c:70-74)."""
     return normalize_fft(magnitude_fft(pgm_dc_removed))
+
+
+def fft_shift(half_mag: jnp.ndarray) -> jnp.ndarray:
+    """Center a half-spectrum magnitude for display: (H, W2) -> (H, 2*W2-1).
+
+    Dev/viz counterpart of the reference's fft_shift
+    (src/fft_processing.c:111-157): the right half is the input with rows
+    rolled so DC lands on the center row, the left half is its 180-degree
+    rotation (the magnitude of a real signal's spectrum is symmetric under
+    point reflection about DC).  Documented deviation: the reference writes
+    its output buffer with the *input* width as the row stride
+    (``fft_image->data[y_val*fft_width + x_val]`` where ``fft_width`` is
+    the input's width but the image is ``2*width-1`` wide), scrambling the
+    result — undefined/buggy layout we do not reproduce.  For odd H and
+    odd full width this matches ``np.fft.fftshift`` of the full spectrum
+    exactly; for even sizes the left half is off by one row, exactly as a
+    180-degree rotation implies.
+    """
+    h, w2 = half_mag.shape
+    right = jnp.roll(half_mag, h // 2, axis=0)
+    left = right[::-1, ::-1][:, :-1]
+    return jnp.concatenate([left, right], axis=1)

@@ -129,6 +129,51 @@ class Report:
         """Show the report card in a window when a display is available."""
         self.generate_report_card(image, bounding_boxes).show()
 
+    def display_color_palette_image(self):  # pragma: no cover
+        """Show the palette image (reference core.py:231-237).
+
+        Generates it first if needed (the reference requires a prior
+        generate_color_palette_image call and crashes otherwise — quirk
+        not reproduced)."""
+        if not hasattr(self, "color_palette_image"):
+            self.generate_color_palette_image()
+        self.color_palette_image.show()
+
+    def display_blur_profile(self):  # pragma: no cover
+        """Show the blur-profile visual (reference core.py:240-264)."""
+        if not hasattr(self, "blur_profile_image"):
+            self.generate_blur_profile_image()
+        self.blur_profile_image.show()
+
+    def text_report(self) -> str:
+        """Plain-text dump matching the reference's print_full_report layout
+        (src/utilities.c:229-256): saturation, RGB stats, palette rows as
+        (H, S%, V%) ints + portion, then every (angle, frequency) bin."""
+        lines = ["FULL REPORT:",
+                 f"Average Saturation: {self.average_saturation:f}",
+                 "Brightness of RGB: ({:f},{:f},{:f})".format(
+                     self.rgb_stats.Br, self.rgb_stats.Bg, self.rgb_stats.Bb),
+                 "Contrast of RGB; ({:f},{:f},{:f})".format(
+                     self.rgb_stats.Cr, self.rgb_stats.Cg, self.rgb_stats.Cb),
+                 "", "Color Palette Contents:"]
+        for i, ((h, s, v), pct) in enumerate(
+                zip(self.color_palette.hsv, self.color_palette.quantities)):
+            lines.append(
+                f"{i + 1}\tHSV: ({int(h):3d},{int(s * 100):3d},"
+                f"{int(v * 100):3d}), Portion of image accounted for: "
+                f"{pct:f}")
+        lines += ["", "Blur Profile:"]
+        bins = self.blur_profile.bins
+        num_angle, num_radius = len(bins), len(bins[0])
+        angle_bin_size = 180 // num_angle
+        for i in range(num_angle):
+            for j in range(num_radius):
+                lines.append(
+                    f"angle: {angle_bin_size * i:3d}, frequency: "
+                    f"{j / num_radius:.3f}\t\t Bin: {bins[i][j]:f}")
+        lines += ["", "", "END OF REPORT."]
+        return "\n".join(lines)
+
     def to_json(self) -> str:
         """Fixed-width flat schema (reference core.py:388-436)."""
         rd = {

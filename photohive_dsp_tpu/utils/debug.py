@@ -115,3 +115,16 @@ def create_test_rgb(height: int = 400, width: int = 400, seed: int = 0)\
     ]).astype(np.float32)
     rgb += rng.normal(0, 0.02, rgb.shape).astype(np.float32)
     return np.clip(rgb, 0.0, 1.0)
+
+
+def nan_checks(enable: bool = True) -> None:
+    """Toggle jit-level NaN detection (``jax_debug_nans``).
+
+    The TPU build's stand-in for the race/memory sanitizers the reference
+    lacked (SURVEY.md §5.2): with checks on, any NaN produced inside a jit
+    program raises at the producing op (re-running un-jitted), instead of
+    surfacing as a scrubbed 0.0 in the report's NaN-tolerant fields.
+    """
+    import jax
+
+    jax.config.update("jax_debug_nans", bool(enable))
