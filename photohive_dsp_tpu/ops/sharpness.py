@@ -33,10 +33,35 @@ def _one_box_sharpness(pgm: jnp.ndarray, box: jnp.ndarray,
     insf = inside.astype(pgm.dtype)
     resp = laplacian_3x3(pgm * insf)
     n = jnp.maximum((bottom - top) * (right - left), 1).astype(pgm.dtype)
-    mean = jnp.sum(resp * insf) / n
+    # Exact-in-algebra response sum (see _ring_weight_map): summing the
+    # mixed-sign response over the whole crop cancels catastrophically in
+    # f32 (the interior sums to ~0 through ~n large terms); the telescoped
+    # ring-weighted sum of the *input* pixels is positive-weighted over
+    # O(perimeter) terms, matching the reference's f64 mean to ~1e-7.
+    wmap = _ring_weight_map(ys, xs, box) * insf
+    mean = jnp.sum(pgm * wmap) / n
     var = jnp.sum(jnp.square(resp - mean) * insf) / n
     safe_mean = jnp.where(mean == 0, 1.0, mean)
     return jnp.where(valid, var / safe_mean, 0.0)
+
+
+def _ring_weight_map(ys: jnp.ndarray, xs: jnp.ndarray,
+                     box: jnp.ndarray) -> jnp.ndarray:
+    """Weights W(y,x) with sum(resp_crop) == sum(pgm * W) over the crop.
+
+    For the zero-padded crop Laplacian, sum_p resp(p) = sum_q x(q) *
+    (8 - deg_in(q)) where deg_in(q) counts q's 8-neighbors inside the
+    crop: every interior pixel contributes exactly zero, so the response
+    sum telescopes onto the crop's 1-px border ring.  With rows_in(y) =
+    |{y-1, y, y+1} ∩ [top, bottom)| and cols_in likewise, deg_in =
+    rows_in*cols_in - 1, giving W = 9 - rows_in*cols_in (5 at corners, 3
+    on edges, 0 inside; exact for every box shape including 1-px-thin)."""
+    top, bottom, left, right = box[0], box[1], box[2], box[3]
+    rows_in = ((ys - 1 >= top).astype(jnp.int32) + 1
+               + (ys + 1 < bottom).astype(jnp.int32))
+    cols_in = ((xs - 1 >= left).astype(jnp.int32) + 1
+               + (xs + 1 < right).astype(jnp.int32))
+    return (9 - rows_in * cols_in).astype(jnp.float32)
 
 
 def variance_sharpness(pgm: jnp.ndarray, boxes: jnp.ndarray,
@@ -132,9 +157,9 @@ def variance_sharpness_batched(pgm: jnp.ndarray, boxes: jnp.ndarray,
     GEMMs over the shared response (and its square), and the crop-boundary
     zero-padding reproduced exactly through ring corrections
     (_box_ring_terms).  Algebraically identical to the reference's
-    crop-then-filter; f32 rounding differs slightly from the masked path
-    (variance via E[x^2]-mu^2 with exact ring algebra), well inside the
-    1e-4 batched-vs-single parity bound.  Falls back to the masked
+    crop-then-filter; the response mean uses the exact telescoped ring
+    identity (see fast() below), so both paths track the float64 golden
+    to ~1e-7 relative.  Falls back to the masked
     formulation (one whole-batch lax.cond) when any valid box is thinner
     than 2 px, where ring pieces would overlap."""
     bsz, h, w = pgm.shape
@@ -144,26 +169,40 @@ def variance_sharpness_batched(pgm: jnp.ndarray, boxes: jnp.ndarray,
         resp2 = resp * resp
         t, b = boxes[..., 0], boxes[..., 1]                      # (B, 10)
         l, r = boxes[..., 2], boxes[..., 3]
-        rowm = ((jnp.arange(h)[None, None, :] >= t[..., None])
-                & (jnp.arange(h)[None, None, :] < b[..., None]))
-        colm = ((jnp.arange(w)[None, None, :] >= l[..., None])
-                & (jnp.arange(w)[None, None, :] < r[..., None]))
+        hidx = jnp.arange(h)[None, None, :]
+        widx = jnp.arange(w)[None, None, :]
+        rowm = (hidx >= t[..., None]) & (hidx < b[..., None])
+        colm = (widx >= l[..., None]) & (widx < r[..., None])
         rm = rowm.astype(pgm.dtype)
         cm = colm.astype(pgm.dtype)
         hi = jax.lax.Precision.HIGHEST
 
-        def boxsum(a):
-            per_row = jnp.einsum("bhw,bkw->bkh", a, cm, precision=hi)
-            return jnp.einsum("bkh,bkh->bk", per_row, rm, precision=hi)
+        def boxsum(a, row_mask, col_mask):
+            per_row = jnp.einsum("bhw,bkw->bkh", a, col_mask, precision=hi)
+            return jnp.einsum("bkh,bkh->bk", per_row, row_mask,
+                              precision=hi)
 
-        s1 = boxsum(resp)
-        s2 = boxsum(resp2)
+        s2 = boxsum(resp2, rm, cm)
         pgm_pad = jnp.pad(pgm, ((0, 0), (1, 1), (1, 1)))
         ring = jax.vmap(lambda pp, rr, bx: jax.vmap(
             lambda one: _box_ring_terms(pp, rr, one))(bx))(pgm_pad, resp,
                                                            boxes)
-        s1 = s1 + ring[0]
         s2 = s2 + ring[1]
+
+        # Exact response sum via the telescoped border-ring identity
+        # (_ring_weight_map): sum(resp_crop) = sum(pgm * (9 - rows_in *
+        # cols_in)) over the box.  With alpha = 3 - rows_in and beta =
+        # 3 - cols_in (nonzero only on border rows/cols), 9 - ab = 3*alpha
+        # + 3*beta - alpha*beta — three separable positive-weighted GEMMs
+        # over O(perimeter) effective terms, free of the O(area)
+        # cancellation that made the f32 mean ~1e-2 inaccurate.
+        alpha = rm * ((hidx - 1 < t[..., None]).astype(pgm.dtype)
+                      + (hidx + 1 >= b[..., None]).astype(pgm.dtype))
+        beta = cm * ((widx - 1 < l[..., None]).astype(pgm.dtype)
+                     + (widx + 1 >= r[..., None]).astype(pgm.dtype))
+        s1 = (3.0 * boxsum(pgm, alpha, cm) + 3.0 * boxsum(pgm, rm, beta)
+              - boxsum(pgm, alpha, beta))
+
         n = jnp.maximum((b - t) * (r - l), 1).astype(pgm.dtype)
         mean = s1 / n
         var = s2 / n - mean * mean

@@ -98,9 +98,9 @@ def test_variance_sharpness(img):
     ours = np.asarray(sharpness.variance_sharpness(
         jnp.asarray(pgm64, jnp.float32), jnp.asarray(boxes),
         jnp.asarray(valid)))
-    # var/mean with a near-zero mean is ill-conditioned by design; compare
-    # with a relative tolerance rather than SNR.
-    np.testing.assert_allclose(ours[:3], ref, rtol=2e-2)
+    # The mean uses the exact telescoped ring sum (ops/sharpness.py
+    # _ring_weight_map), so f32 tracks the f64 golden to ~1e-7 relative.
+    np.testing.assert_allclose(ours[:3], ref, rtol=1e-5)
     assert np.all(ours[3:] == 0.0)
 
     # The batched shared-response + ring-correction formulation must agree
@@ -108,6 +108,6 @@ def test_variance_sharpness(img):
     fast = np.asarray(sharpness.variance_sharpness_batched(
         jnp.asarray(pgm64, jnp.float32)[None], jnp.asarray(boxes)[None],
         jnp.asarray(valid)[None]))[0]
-    np.testing.assert_allclose(fast[:3], ref, rtol=2e-2)
-    np.testing.assert_allclose(fast[:3], ours[:3], rtol=1e-4)
+    np.testing.assert_allclose(fast[:3], ref, rtol=1e-5)
+    np.testing.assert_allclose(fast[:3], ours[:3], rtol=1e-5)
     assert np.all(fast[3:] == 0.0)

@@ -51,7 +51,9 @@ def test_blur_vectors_parity(report_pair):
 def test_sharpness_parity(report_pair):
     golden, data = report_pair
     ours = np.asarray(data.sharpness)[:2]
-    np.testing.assert_allclose(ours, golden["sharpness"], rtol=5e-2)
+    # f32 pipeline (incl. f32 rgb2pgm) vs the all-f64 golden; the exact
+    # ring-sum mean keeps this to ~1e-6 relative.
+    np.testing.assert_allclose(ours, golden["sharpness"], rtol=1e-4)
 
 
 def test_palette_parity(report_pair):
