@@ -59,20 +59,55 @@ def _compiled_u8_batch_fn(height: int, width: int, cfg: ReportConfig):
     return jax.jit(fn), tables
 
 
+# Images at or above this many megapixels route to the spatially-sharded
+# path when the mesh has a spatial axis (SURVEY.md §7.4 routing policy:
+# replicate small images over ``data``, shard >=4K-class ones over
+# ``spatial`` so each chip holds 1/n of the rows).
+SPATIAL_ROUTE_MP = float(os.environ.get("PHOTOHIVE_SPATIAL_MP", "8.0"))
+
+
+@functools.lru_cache(maxsize=8)
+def _dp_spatial_u8_fn(mesh, batch: int, height: int, width: int,
+                      cfg: ReportConfig):
+    from ..parallel.spatial import build_dp_spatial_report
+
+    run = build_dp_spatial_report(mesh, batch, height, width, cfg,
+                                  use_pallas=_want_pallas())
+
+    @jax.jit
+    def fn(u8, boxes, valid):
+        rgb = jnp.moveaxis(u8, -1, 1).astype(jnp.float32) / 255.0
+        return run(rgb, boxes, valid)
+
+    return fn
+
+
 class BatchRunner:
     """Executes same-shape image batches through one compiled report fn.
 
     Optionally shards the batch over a mesh's ``data`` axis (in which case
-    batch sizes are padded to a multiple of the axis size).
+    batch sizes are padded to a multiple of the axis size).  On meshes
+    with a ``spatial`` axis, images of at least ``spatial_route_mp``
+    megapixels run through the spatially-sharded body (rows over
+    ``spatial`` x batch over ``data``) instead of being replicated.
     """
 
-    def __init__(self, cfg: ReportConfig, mesh=None):
+    def __init__(self, cfg: ReportConfig, mesh=None,
+                 spatial_route_mp: float = SPATIAL_ROUTE_MP):
         self.cfg = cfg
         self.mesh = mesh
+        self.spatial_route_mp = spatial_route_mp
         self._data_axis = None
+        self._spatial_axis = None
         if mesh is not None:
-            from ..parallel.mesh import DATA_AXIS
+            from ..parallel.mesh import DATA_AXIS, SPATIAL_AXIS
             self._data_axis = mesh.shape[DATA_AXIS]
+            self._spatial_axis = mesh.shape.get(SPATIAL_AXIS, 1)
+
+    def routes_spatially(self, height: int, width: int) -> bool:
+        """True when (height, width) images run on the spatial path."""
+        return bool(self._spatial_axis and self._spatial_axis > 1
+                    and height * width >= self.spatial_route_mp * 1e6)
 
     def run_u8(self, images_u8, boxes=None, boxes_valid=None) -> ReportData:
         """images_u8: (B, H, W, 3) uint8 (numpy or device array)."""
@@ -80,6 +115,18 @@ class BatchRunner:
         if boxes is None:
             boxes = np.zeros((b, MAX_CROP_BOXES, 4), np.int32)
             boxes_valid = np.zeros((b, MAX_CROP_BOXES), bool)
+        if self.routes_spatially(h, w):
+            pad = (-b) % self._data_axis
+            if pad:
+                images_u8 = np.concatenate(
+                    [images_u8, np.repeat(images_u8[-1:], pad, axis=0)])
+                boxes = np.concatenate([boxes, np.repeat(boxes[-1:], pad, 0)])
+                boxes_valid = np.concatenate(
+                    [boxes_valid, np.repeat(boxes_valid[-1:], pad, 0)])
+            fn = _dp_spatial_u8_fn(self.mesh, b + pad, h, w, self.cfg)
+            out = fn(jnp.asarray(images_u8), jnp.asarray(boxes),
+                     jnp.asarray(boxes_valid))
+            return jax.tree.map(lambda x: x[:b], out) if pad else out
         fn, tables = _compiled_u8_batch_fn(h, w, self.cfg)
         return fn(jnp.asarray(images_u8), jnp.asarray(boxes),
                   jnp.asarray(boxes_valid), tables)
@@ -113,13 +160,20 @@ class BatchRunner:
             boxes_valid = np.concatenate(
                 [boxes_valid, np.repeat(boxes_valid[-1:], pad, 0)])
 
-        if self.mesh is not None:
-            from ..parallel.sharding import data_parallel_report
-            fn, tables = data_parallel_report(h, w, self.cfg, self.mesh)
+        if self.routes_spatially(h, w):
+            from ..parallel.spatial import build_dp_spatial_report
+            fn = build_dp_spatial_report(self.mesh, b + pad, h, w, self.cfg,
+                                         use_pallas=_want_pallas())
+            out = fn(jnp.asarray(images), jnp.asarray(boxes),
+                     jnp.asarray(boxes_valid))
         else:
-            fn, tables = _compiled_batch_fn(h, w, self.cfg)
-        out = fn(jnp.asarray(images), jnp.asarray(boxes),
-                 jnp.asarray(boxes_valid), tables)
+            if self.mesh is not None:
+                from ..parallel.sharding import data_parallel_report
+                fn, tables = data_parallel_report(h, w, self.cfg, self.mesh)
+            else:
+                fn, tables = _compiled_batch_fn(h, w, self.cfg)
+            out = fn(jnp.asarray(images), jnp.asarray(boxes),
+                     jnp.asarray(boxes_valid), tables)
         if pad:
             out = jax.tree.map(lambda x: x[:b], out)
         return out
@@ -142,16 +196,19 @@ def bucket_by_shape(items: Iterable[Tuple[object, np.ndarray]])\
 
 
 def run_corpus(images: Iterable[Tuple[object, np.ndarray]],
-               cfg: ReportConfig, mesh=None, batch_size: int = 32)\
+               cfg: ReportConfig, mesh=None, batch_size: int = 32,
+               spatial_route_mp: float = SPATIAL_ROUTE_MP)\
         -> Iterator[Tuple[object, ReportData]]:
     """Stream reports for a mixed-resolution corpus.
 
     Truly streaming: images accumulate into per-shape buckets and a bucket
     flushes as soon as it holds ``batch_size`` images (remainders flush at
     end of stream), so memory stays O(num_shapes * batch_size) regardless of
-    corpus size.  Yields (key, per-image ReportData).
+    corpus size.  Yields (key, per-image ReportData).  On meshes with a
+    spatial axis, images >= ``spatial_route_mp`` MP run row-sharded
+    (see BatchRunner).
     """
-    runner = BatchRunner(cfg, mesh=mesh)
+    runner = BatchRunner(cfg, mesh=mesh, spatial_route_mp=spatial_route_mp)
     buckets: Dict[Tuple[int, int], list] = collections.defaultdict(list)
 
     def flush(group):

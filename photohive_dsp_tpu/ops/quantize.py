@@ -344,6 +344,45 @@ def color_palette(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray,
     return palette_finalize(sums, assign, total_pixels, tables)
 
 
+def palette_sums_by_k_auto(hf: jnp.ndarray, sf: jnp.ndarray,
+                           vf: jnp.ndarray, cells: jnp.ndarray,
+                           assign: ParentAssignment, counts: jnp.ndarray,
+                           cfg: ReportConfig, tables: OctreeTables)\
+        -> jnp.ndarray:
+    """Pallas palette pixel pass with automatic kernel-width selection.
+
+    (B, P) flat pixels -> (B, C, 4) sums per valid-order slot.  q_pad is
+    static per config: no cell can have more tie candidates than the
+    largest equal-rank group in the exact distance table.  That worst case
+    (~40: a gray/black cell invalid yet tied across every hue) almost
+    never involves a *populated* cell on real images, so a narrow q=8
+    kernel handles the common case and the full-width kernel is kept as
+    the exact fallback, selected by one scalar lax.cond on the batch's
+    actual candidate counts.  Used by both the single-chip batched path
+    and the spatially-sharded body (B=1 per shard there, sums psum-merged
+    by the caller)."""
+    from . import pallas_kernels as pk
+
+    c = cfg.num_cells
+    q_full = max(8, -(-octree_geometry(cfg).max_tie_candidates // 8) * 8)
+    q_small = 8
+
+    def run(q_pad):
+        def body(_):
+            luts = jax.vmap(lambda a: pk.palette_candidate_lut(
+                a, tables, c, q_pad))(assign)
+            return pk.palette_sums_by_k(hf, sf, vf, cells, luts, c, q_pad)
+        return body
+
+    if q_full == q_small:
+        return run(q_full)(None)
+    # Candidate count only matters for cells that hold pixels.
+    ncand = jnp.sum(assign.allowed, axis=-1)           # (B, C)
+    q_needed = jnp.max(jnp.where(counts > 0, ncand, 0))
+    return jax.lax.cond(q_needed <= q_small, run(q_small), run(q_full),
+                        None)
+
+
 def color_palette_batched(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray,
                           cfg: ReportConfig, tables: OctreeTables,
                           use_pallas: bool = False) -> PaletteResult:
@@ -373,35 +412,9 @@ def color_palette_batched(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray,
                                                     cfg, tables)
     )(counts, order)
     if use_pallas:
-        # q_pad is static per config: no cell can have more tie candidates
-        # than the largest equal-rank group in the exact distance table.
-        # That worst case (~40: a gray/black cell invalid yet tied across
-        # every hue) almost never involves a *populated* cell on real
-        # images, so a narrow q=8 kernel handles the common case and the
-        # full-width kernel is kept as the exact fallback, selected by one
-        # scalar lax.cond on this batch's actual candidate counts.
-        q_full = max(8, -(-octree_geometry(cfg).max_tie_candidates // 8) * 8)
-        q_small = 8
-        hf = h.reshape(b, -1)
-        sf = s.reshape(b, -1)
-        vf = v.reshape(b, -1)
-
-        def run(q_pad):
-            def body(_):
-                luts = jax.vmap(lambda a: pk.palette_candidate_lut(
-                    a, tables, c, q_pad))(assign)
-                return pk.palette_sums_by_k(hf, sf, vf, cells, luts, c,
-                                            q_pad)
-            return body
-
-        if q_full == q_small:
-            sums_by_k = run(q_full)(None)
-        else:
-            # Candidate count only matters for cells that hold pixels.
-            ncand = jnp.sum(assign.allowed, axis=-1)       # (B, C)
-            q_needed = jnp.max(jnp.where(counts > 0, ncand, 0))
-            sums_by_k = jax.lax.cond(q_needed <= q_small,
-                                     run(q_small), run(q_full), None)
+        sums_by_k = palette_sums_by_k_auto(
+            h.reshape(b, -1), s.reshape(b, -1), v.reshape(b, -1), cells,
+            assign, counts, cfg, tables)
         return jax.vmap(
             lambda sk, a: palette_finalize_by_k(sk, a, total_pixels, tables)
         )(sums_by_k, assign)

@@ -21,6 +21,13 @@ import jax.numpy as jnp
 
 from .filtering import laplacian_3x3
 
+# Boxes under this many px in either dimension route to the exact masked
+# two-pass formulation: the fast shared-response path assembles the crop's
+# sum(resp^2) from terms ~1e3 larger than the tiny crop's variance, leaving
+# ~1e-6 absolute f32 cancellation noise the per-pixel mean-subtracted pass
+# does not have.  Shared with parallel/spatial._sharded_sharpness.
+TINY_BOX_PX = 4
+
 
 def _one_box_sharpness(pgm: jnp.ndarray, box: jnp.ndarray,
                        valid: jnp.ndarray) -> jnp.ndarray:
@@ -160,8 +167,8 @@ def variance_sharpness_batched(pgm: jnp.ndarray, boxes: jnp.ndarray,
     crop-then-filter; the response mean uses the exact telescoped ring
     identity (see fast() below), so both paths track the float64 golden
     to ~1e-7 relative.  Falls back to the masked
-    formulation (one whole-batch lax.cond) when any valid box is thinner
-    than 2 px, where ring pieces would overlap."""
+    formulation (one whole-batch lax.cond) when any valid box is smaller
+    than TINY_BOX_PX in either dimension (cancellation, see above)."""
     bsz, h, w = pgm.shape
 
     def fast(_):
@@ -212,6 +219,6 @@ def variance_sharpness_batched(pgm: jnp.ndarray, boxes: jnp.ndarray,
     def masked(_):
         return jax.vmap(variance_sharpness)(pgm, boxes, boxes_valid)
 
-    thin = boxes_valid & ((boxes[..., 1] - boxes[..., 0] < 2)
-                          | (boxes[..., 3] - boxes[..., 2] < 2))
+    thin = boxes_valid & ((boxes[..., 1] - boxes[..., 0] < TINY_BOX_PX)
+                          | (boxes[..., 3] - boxes[..., 2] < TINY_BOX_PX))
     return jax.lax.cond(jnp.any(thin), masked, fast, None)

@@ -97,3 +97,46 @@ def test_run_corpus_mixed_shapes():
     for key, data in got.items():
         assert np.isfinite(np.asarray(data.rgb_stats)).all()
         assert 0 < int(data.palette_n) <= cfg.num_cells
+
+
+def test_run_corpus_routes_large_images_spatially():
+    """Size-based routing (SURVEY §7.4): on a mesh with a spatial axis,
+    images at or above the MP threshold run through the row-sharded dp x
+    spatial body — here at a non-dividing height (242 rows over 4 shards,
+    zero-row-padded and masked) — while small images keep the replicated
+    data-parallel path.  Both must match the single-device report."""
+    from photohive_dsp_tpu.parallel import mesh as meshlib
+    from .util import snr_db
+
+    cfg = ph.ReportConfig()
+    m = meshlib.make_mesh(data=2, spatial=4)
+    probe = BatchRunner(cfg, mesh=m, spatial_route_mp=0.05)
+    assert probe.routes_spatially(242, 320)        # 0.077 MP >= 0.05
+    assert not probe.routes_spatially(96, 128)     # 0.012 MP
+
+    big = [(f"b{i}", structured_image(242, 320, seed=10 + i))
+           for i in range(2)]
+    small = [(f"s{i}", structured_image(96, 128, seed=20 + i))
+             for i in range(2)]
+    got = dict(run_corpus(iter(big + small), cfg, mesh=m, batch_size=2,
+                          spatial_route_mp=0.05))
+    assert set(got) == {"b0", "b1", "s0", "s1"}
+    zb = jnp.zeros((10, 4), jnp.int32)
+    zv = jnp.zeros((10,), bool)
+    for key, img in big + small:
+        h, w = img.shape[1], img.shape[2]
+        fn, tables = jitted_full_report(h, w, cfg)
+        ref = fn(jnp.asarray(img, jnp.float32), zb, zv, tables)
+        ours = got[key]
+        np.testing.assert_allclose(np.asarray(ours.rgb_stats),
+                                   np.asarray(ref.rgb_stats),
+                                   rtol=2e-5, atol=1e-6)
+        assert int(ours.palette_n) == int(ref.palette_n)
+        n = int(ref.palette_n)
+        np.testing.assert_array_equal(np.asarray(ours.palette_ids)[:n],
+                                      np.asarray(ref.palette_ids)[:n])
+        np.testing.assert_allclose(np.asarray(ours.palette_pct)[:n],
+                                   np.asarray(ref.palette_pct)[:n],
+                                   atol=1e-6)
+        assert snr_db(np.asarray(ref.blur_bins),
+                      np.asarray(ours.blur_bins)) > 55
