@@ -99,10 +99,16 @@ class BatchRunner:
         self.spatial_route_mp = spatial_route_mp
         self._data_axis = None
         self._spatial_axis = None
+        self._flat_mesh = None
         if mesh is not None:
             from ..parallel.mesh import DATA_AXIS, SPATIAL_AXIS
-            self._data_axis = mesh.shape[DATA_AXIS]
+            from ..parallel.sharding import flat_data_mesh
             self._spatial_axis = mesh.shape.get(SPATIAL_AXIS, 1)
+            # Small images fold the spatial axis into data (all devices
+            # data-parallel); only the spatial route uses the 2-D mesh.
+            self._flat_mesh = flat_data_mesh(mesh)
+            self._data_axis = self._flat_mesh.shape[DATA_AXIS]
+            self._spatial_route_batch = mesh.shape[DATA_AXIS]
 
     def routes_spatially(self, height: int, width: int) -> bool:
         """True when (height, width) images run on the spatial path."""
@@ -116,7 +122,7 @@ class BatchRunner:
             boxes = np.zeros((b, MAX_CROP_BOXES, 4), np.int32)
             boxes_valid = np.zeros((b, MAX_CROP_BOXES), bool)
         if self.routes_spatially(h, w):
-            pad = (-b) % self._data_axis
+            pad = (-b) % self._spatial_route_batch
             if pad:
                 images_u8 = np.concatenate(
                     [images_u8, np.repeat(images_u8[-1:], pad, axis=0)])
@@ -126,6 +132,21 @@ class BatchRunner:
             fn = _dp_spatial_u8_fn(self.mesh, b + pad, h, w, self.cfg)
             out = fn(jnp.asarray(images_u8), jnp.asarray(boxes),
                      jnp.asarray(boxes_valid))
+            return jax.tree.map(lambda x: x[:b], out) if pad else out
+        if self.mesh is not None:
+            from ..parallel.sharding import data_parallel_report_u8
+            pad = (-b) % self._data_axis
+            if pad:
+                images_u8 = np.concatenate(
+                    [images_u8, np.repeat(images_u8[-1:], pad, axis=0)])
+                boxes = np.concatenate([boxes, np.repeat(boxes[-1:], pad, 0)])
+                boxes_valid = np.concatenate(
+                    [boxes_valid, np.repeat(boxes_valid[-1:], pad, 0)])
+            fn, tables = data_parallel_report_u8(h, w, self.cfg,
+                                                 self._flat_mesh,
+                                                 _want_pallas())
+            out = fn(jnp.asarray(images_u8), jnp.asarray(boxes),
+                     jnp.asarray(boxes_valid), tables)
             return jax.tree.map(lambda x: x[:b], out) if pad else out
         fn, tables = _compiled_u8_batch_fn(h, w, self.cfg)
         return fn(jnp.asarray(images_u8), jnp.asarray(boxes),
@@ -169,7 +190,9 @@ class BatchRunner:
         else:
             if self.mesh is not None:
                 from ..parallel.sharding import data_parallel_report
-                fn, tables = data_parallel_report(h, w, self.cfg, self.mesh)
+                fn, tables = data_parallel_report(h, w, self.cfg,
+                                                  self._flat_mesh,
+                                                  _want_pallas())
             else:
                 fn, tables = _compiled_batch_fn(h, w, self.cfg)
             out = fn(jnp.asarray(images), jnp.asarray(boxes),
