@@ -1,0 +1,289 @@
+"""Scaling-efficiency measurements for BASELINE configs #4/#5.
+
+The reference has no multi-device story at all (single-threaded C except
+FFTW threads); these configs exist only for the TPU build.  Real multi-chip
+hardware is not available in this dev environment, so this tool produces
+the evidence that IS measurable here, plus the written methodology that
+transfers to real pods:
+
+  ``curve``   — data-axis scaling curve on 1/2/4/8 *virtual* CPU devices.
+                All virtual devices share this host's physical cores, so
+                wall-clock cannot speed up with N; what the curve measures
+                is the *overhead* of sharding: with a fixed total batch,
+                perfect data-parallelism keeps wall time flat as the batch
+                is split N ways.  T(N)/T(1)-1 is the sharding overhead
+                (partition + dispatch + any inserted collectives).
+  ``hlo``     — counts collective ops in the compiled data-parallel
+                executable.  The data axis is embarrassingly parallel, so
+                the expected count is ZERO: on real hardware no ICI/DCN
+                traffic means per-chip throughput is independent of N.
+  ``corpus``  — BASELINE config #4 at reduced scale: N synthetic images
+                through the resumable ``process_corpus`` driver on the
+                8-virtual-device mesh (end-to-end: PNG decode, bucketing,
+                padding, sharded execution, JSONL + watermark output).
+  ``hosts``   — config #5 logic-level: 2-host partition disjointness /
+                coverage and the load-balance (straggler) term that
+                bounds multi-host efficiency.
+
+Methodology for >=85% efficiency at >=2 hosts (the BASELINE.json north
+star), in terms measurable on real hardware:
+
+    eff(N_hosts) = T(1 host, W) / (N * T(N hosts, W))
+                 = 1 / (1 + c + s)
+
+  where c = collective/communication fraction and s = straggler fraction.
+  * c == 0 for the report workload: hosts share NO state — each host owns
+    every num_hosts-th key of the sorted corpus (utils/io.py), chips
+    within a host shard the batch axis, and the `hlo` mode verifies the
+    executable contains no collectives.  (Spatially-sharded large images
+    do psum/ppermute/all_to_all, but only across the chips of ONE host —
+    rides ICI, never DCN.)
+  * s = (max_host_work - mean_host_work) / mean_host_work over the key
+    partition.  The `hosts` mode measures it for a synthetic mixed-res
+    corpus with randomly-assigned shapes; round-robin partitioning keeps
+    it at the sampling-noise level O(1/sqrt(images_per_host)) — well
+    under the 15% budget for >=1k images.
+
+Usage:
+    python tools/scaling_bench.py curve|hlo|corpus|hosts|all [--n 2000]
+Run it from the repo root; it re-execs itself with the right XLA flags.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Fixed total workload for the curve: identical work at every N.
+CURVE_BATCH = 16
+CURVE_H, CURVE_W = 384, 512
+
+
+def _subenv(ndev: int) -> dict:
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + f" --xla_force_host_platform_device_count={ndev}")
+    return env
+
+
+def _run_child(code: str, ndev: int, timeout: float = 600) -> dict:
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, env=_subenv(ndev), timeout=timeout,
+                         cwd=REPO)
+    if out.returncode != 0:
+        raise RuntimeError(f"child failed rc={out.returncode}:\n"
+                           f"{out.stderr[-2000:]}")
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+_CHILD_PRELUDE = """
+import json, time
+import numpy as np
+import jax
+jax.config.update('jax_platforms', 'cpu')
+import sys; sys.path.insert(0, {repo!r})
+from photohive_dsp_tpu import ReportConfig
+from photohive_dsp_tpu.models.batch import BatchRunner
+from photohive_dsp_tpu.parallel.mesh import make_mesh
+"""
+
+
+def run_curve(ns=(1, 2, 4, 8)) -> list:
+    """Fixed-total-work wall time vs number of data-parallel devices."""
+    results = []
+    for n in ns:
+        code = _CHILD_PRELUDE.format(repo=REPO) + f"""
+cfg = ReportConfig()
+mesh = make_mesh(data={n}, spatial=1) if {n} > 1 else None
+runner = BatchRunner(cfg, mesh=mesh)
+rng = np.random.default_rng(0)
+img = rng.integers(0, 256, ({CURVE_BATCH}, {CURVE_H}, {CURVE_W}, 3),
+                   dtype=np.uint8)
+out = runner.run_u8(img); np.asarray(out.blur_bins)   # compile
+reps, best = 3, float('inf')
+for _ in range(reps):
+    t0 = time.perf_counter()
+    out = runner.run_u8(img); np.asarray(out.blur_bins)
+    best = min(best, time.perf_counter() - t0)
+print(json.dumps(dict(ndev={n}, wall_s=round(best, 4))))
+"""
+        r = _run_child(code, n)
+        results.append(r)
+        print(f"  ndev={r['ndev']}: {r['wall_s'] * 1e3:.0f} ms "
+              f"(fixed {CURVE_BATCH}x{CURVE_H}x{CURVE_W} batch)")
+    t1 = results[0]["wall_s"]
+    ncores = os.cpu_count() or 1
+    for r in results:
+        r["speedup"] = round(t1 / r["wall_s"], 3)
+        eff_ceiling = min(r["ndev"], ncores)
+        r["eff_vs_core_ceiling"] = round(r["speedup"] / eff_ceiling, 3)
+        print(f"  ndev={r['ndev']}: speedup {r['speedup']:.2f}x "
+              f"(host has {ncores} physical cores; virtual devices share "
+              f"them, so the achievable ceiling is {eff_ceiling}x)")
+    return results
+
+
+def run_hlo() -> dict:
+    """Count collectives in the compiled data-parallel executable."""
+    code = _CHILD_PRELUDE.format(repo=REPO) + f"""
+from photohive_dsp_tpu.parallel.sharding import data_parallel_report_u8
+cfg = ReportConfig()
+mesh = make_mesh(data=8, spatial=1)
+fn, tables = data_parallel_report_u8({CURVE_H}, {CURVE_W}, cfg, mesh, False)
+rng = np.random.default_rng(0)
+u8 = jax.numpy.asarray(rng.integers(0, 256, (8, {CURVE_H}, {CURVE_W}, 3),
+                                    dtype=np.uint8))
+boxes = jax.numpy.zeros((8, 10, 4), jax.numpy.int32)
+valid = jax.numpy.zeros((8, 10), bool)
+hlo = fn.lower(u8, boxes, valid, tables).compile().as_text()
+colls = ['all-reduce', 'all-gather', 'all-to-all', 'collective-permute',
+         'reduce-scatter']
+counts = {{c: hlo.count(c) for c in colls}}
+print(json.dumps(dict(collective_counts=counts,
+                      total=sum(counts.values()))))
+"""
+    r = _run_child(code, 8)
+    print(f"  collectives in 8-way dp executable: {r['total']} "
+        f"({r['collective_counts']})")
+    return r
+
+
+def make_corpus(root: str, n: int, seed: int = 0) -> list:
+    """n small synthetic PNGs (mixed resolutions, compressible content)."""
+    from PIL import Image
+    import numpy as np
+
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    shapes = [(350, 350), (360, 480), (384, 512)]
+    paths = []
+    for i in range(n):
+        h, w = shapes[i % len(shapes)]
+        # gradient + rectangles: realistic-ish structure, tiny PNGs
+        y = np.linspace(0, 255, h, dtype=np.float32)[:, None]
+        x = np.linspace(0, 255, w, dtype=np.float32)[None, :]
+        img = np.stack([y + 0 * x, 0 * y + x, (y + x) / 2], -1)
+        for _ in range(3):
+            r0, c0 = rng.integers(0, h - 40), rng.integers(0, w - 40)
+            img[r0:r0 + 40, c0:c0 + 40] = rng.integers(0, 256, 3)
+        p = os.path.join(root, f"img_{i:05d}.png")
+        Image.fromarray(img.astype(np.uint8)).save(p)
+        paths.append(p)
+    return paths
+
+
+def run_corpus(n: int) -> dict:
+    """Config #4 at reduced scale: n images through process_corpus on the
+    8-virtual-device data mesh, end to end."""
+    import tempfile
+
+    workdir = tempfile.mkdtemp(prefix="ph_scaling_")
+    corpus_dir = os.path.join(workdir, "corpus")
+    t0 = time.perf_counter()
+    paths = make_corpus(corpus_dir, n)
+    gen_s = time.perf_counter() - t0
+    print(f"  generated {n} PNGs in {gen_s:.0f}s -> {corpus_dir}")
+
+    code = _CHILD_PRELUDE.format(repo=REPO) + f"""
+import glob
+from photohive_dsp_tpu.utils.io import process_corpus
+cfg = ReportConfig()
+mesh = make_mesh(data=8, spatial=1)
+paths = sorted(glob.glob({corpus_dir!r} + '/*.png'))
+t0 = time.perf_counter()
+done = process_corpus(paths, {workdir!r} + '/out', cfg=cfg, mesh=mesh,
+                      batch_size=32)
+dt = time.perf_counter() - t0
+import json as _json
+nlines = sum(1 for _ in open({workdir!r} + '/out/reports.0.jsonl'))
+mp = sum({{(350, 350): 0.1225, (360, 480): 0.1728,
+           (384, 512): 0.196608}}[s] for s in
+         [(350, 350), (360, 480), (384, 512)]) / 3 * done
+print(_json.dumps(dict(images=done, jsonl_lines=nlines,
+                       wall_s=round(dt, 1),
+                       img_per_s=round(done / dt, 2),
+                       mp_per_s=round(mp / dt, 2))))
+"""
+    r = _run_child(code, 8, timeout=3600)
+    r["gen_s"] = round(gen_s, 1)
+    r["workdir"] = workdir
+    print(f"  corpus: {r['images']} images in {r['wall_s']}s "
+          f"({r['img_per_s']} img/s, {r['mp_per_s']} MP/s), "
+          f"{r['jsonl_lines']} JSONL lines")
+    assert r["jsonl_lines"] == r["images"] == n
+    return r
+
+
+def run_hosts(n: int = 1200) -> dict:
+    """Config #5 logic level: 2-host key partition disjointness/coverage
+    and the measured straggler fraction of the hash partition."""
+    import numpy as np
+
+    shapes = [(350, 350), (360, 480), (384, 512), (720, 1080), (1080, 1920)]
+    rng = np.random.default_rng(7)
+    # random shape per image: a realistic mixed-res corpus, so the
+    # straggler term is genuine sampling noise, not zero by construction
+    shape_of = {f"img_{i:05d}.png": shapes[rng.integers(len(shapes))]
+                for i in range(n)}
+    paths = sorted(shape_of)
+    parts = [[p for i, p in enumerate(paths) if i % 2 == h]
+             for h in (0, 1)]
+    assert not set(parts[0]) & set(parts[1])
+    assert set(parts[0]) | set(parts[1]) == set(paths)
+    work = [sum(shape_of[p][0] * shape_of[p][1] for p in part)
+            for part in parts]
+    mean = sum(work) / 2
+    straggler = max(work) / mean - 1.0
+    eff = 1.0 / (1.0 + straggler)  # c == 0 (no cross-host collectives)
+    r = dict(n_images=n, host_pixels=work,
+             straggler_frac=round(straggler, 5),
+             projected_2host_eff=round(eff, 4))
+    print(f"  2-host partition: disjoint+complete; straggler "
+          f"{straggler * 100:.2f}% -> projected efficiency {eff * 100:.1f}%"
+          f" (>=85% target)")
+    return r
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("mode", choices=["curve", "hlo", "corpus", "hosts",
+                                     "all"])
+    ap.add_argument("--n", type=int, default=2000,
+                    help="corpus size for `corpus` mode")
+    args = ap.parse_args()
+
+    results = {}
+    if args.mode in ("curve", "all"):
+        print("== data-axis scaling curve (fixed total work) ==")
+        results["curve"] = run_curve()
+    if args.mode in ("hlo", "all"):
+        print("== collectives in the dp executable ==")
+        results["hlo"] = run_hlo()
+    if args.mode in ("hosts", "all"):
+        print("== 2-host partition / straggler ==")
+        results["hosts"] = run_hosts()
+    if args.mode in ("corpus", "all"):
+        print(f"== config #4 reduced-scale corpus ({args.n} images) ==")
+        results["corpus"] = run_corpus(args.n)
+
+    out = os.path.join(REPO, "tools", "scaling_results.json")
+    existing = {}
+    if os.path.exists(out):
+        with open(out) as f:
+            existing = json.load(f)
+    existing.update(results)
+    with open(out, "w") as f:
+        json.dump(existing, f, indent=1)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
