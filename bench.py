@@ -52,7 +52,8 @@ LAST_GOOD = os.path.join(REPO, "BENCH_LAST_GOOD.json")
 BUDGET_S = float(os.environ.get("PHOTOHIVE_BENCH_BUDGET_S", "840"))
 PROBE_TIMEOUT_S = float(os.environ.get("PHOTOHIVE_BENCH_PROBE_S", "300"))
 
-HEIGHT, WIDTH, BATCH = 1080, 1920, 32
+HEIGHT, WIDTH = 1080, 1920
+BATCH = int(os.environ.get("PHOTOHIVE_BENCH_BATCH", "32"))
 
 
 def emit(payload: dict) -> None:
@@ -71,7 +72,7 @@ def emit_degraded(reason: str) -> None:
               "unit": "MP/s", "vs_baseline": 0.0, "degraded": reason})
 
 
-def preflight() -> bool:
+def preflight(env: dict) -> bool:
     """Probe the backend in a subprocess so a hung runtime can't eat the
     whole budget.  Returns True if a device ran a matmul."""
     code = (
@@ -86,7 +87,7 @@ def preflight() -> bool:
     try:
         out = subprocess.run(
             [sys.executable, "-c", code], capture_output=True, text=True,
-            timeout=PROBE_TIMEOUT_S)
+            timeout=PROBE_TIMEOUT_S, env=env)
     except subprocess.TimeoutExpired:
         print(f"preflight timed out after {PROBE_TIMEOUT_S:.0f}s",
               file=sys.stderr)
@@ -217,11 +218,12 @@ def child_main() -> None:
         print(f"measurement failed: {type(exc).__name__}: {exc}",
               file=sys.stderr)
         sys.exit(3)
-    try:
-        with open(LAST_GOOD, "w") as f:
-            json.dump(result, f)
-    except OSError:
-        pass
+    if not os.environ.get("PHOTOHIVE_BENCH_NO_CACHE"):
+        try:
+            with open(LAST_GOOD, "w") as f:
+                json.dump(result, f)
+        except OSError:
+            pass
     emit(result)
 
 
@@ -229,12 +231,25 @@ def main() -> None:
     start = time.perf_counter()
     deadline = start + BUDGET_S
 
-    if not preflight():
-        emit_degraded("backend preflight failed/timed out")
-        return
+    env = dict(os.environ)
+    degraded_note = None
+    if not preflight(env):
+        if env.get("JAX_PLATFORMS") == "cpu":
+            emit_degraded("backend preflight failed/timed out")
+            return
+        # TPU dead/hung: a real CPU measurement beats a zero.  Smaller
+        # batch — CPU is ~100x slower per 1080p frame than the chip.
+        print("falling back to a CPU measurement", file=sys.stderr)
+        env["JAX_PLATFORMS"] = "cpu"
+        env.setdefault("PHOTOHIVE_BENCH_BATCH", "4")
+        env["PHOTOHIVE_BENCH_NO_CACHE"] = "1"  # don't shadow a TPU number
+        degraded_note = "tpu unreachable; measured on cpu fallback"
+        if not preflight(env):
+            emit_degraded("backend preflight failed/timed out (tpu and cpu)")
+            return
 
     remaining = deadline - time.perf_counter() - 5.0
-    env = dict(os.environ, PHOTOHIVE_BENCH_CHILD_S=str(remaining))
+    env["PHOTOHIVE_BENCH_CHILD_S"] = str(remaining)
     try:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--measure"],
@@ -248,7 +263,10 @@ def main() -> None:
     sys.stderr.write(out.stderr)
     lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
     if out.returncode == 0 and lines:
-        print(lines[-1], flush=True)
+        result = json.loads(lines[-1])
+        if degraded_note:
+            result["degraded"] = degraded_note
+        emit(result)
     else:
         emit_degraded(f"measurement child failed rc={out.returncode}")
 
