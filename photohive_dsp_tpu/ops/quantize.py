@@ -360,10 +360,20 @@ def palette_sums_by_k_auto(hf: jnp.ndarray, sf: jnp.ndarray,
     the exact fallback, selected by one scalar lax.cond on the batch's
     actual candidate counts.  Used by both the single-chip batched path
     and the spatially-sharded body (B=1 per shard there, sums psum-merged
-    by the caller)."""
+    by the caller).
+
+    PHOTOHIVE_PALETTE_KERNEL=cwide selects the C-wide A/B variant
+    (ops/pallas_kernels_cwide.py) instead — identical results, different
+    MXU:VPU balance; measure both on silicon."""
+    import os
+
     from . import pallas_kernels as pk
 
     c = cfg.num_cells
+    if os.environ.get("PHOTOHIVE_PALETTE_KERNEL") == "cwide":
+        from . import pallas_kernels_cwide as pkc
+        opnds = jax.vmap(lambda a: pkc.cwide_tables(a, tables, c))(assign)
+        return pkc.palette_sums_by_k_cwide(hf, sf, vf, cells, *opnds, c)
     q_full = max(8, -(-octree_geometry(cfg).max_tie_candidates // 8) * 8)
     q_small = 8
 

@@ -72,6 +72,53 @@ def test_palette_kernel_interpret_wide_branch(cfg, tables):
     assert np.abs(np.asarray(sums) - np.asarray(ref_by_k)).max() < 0.5
 
 
+def test_palette_kernel_cwide_interpret(cfg, tables):
+    """The C-wide A/B variant (pallas_kernels_cwide) matches the XLA path
+    bit-for-bit on counts and to rounding on the split sums."""
+    from photohive_dsp_tpu.ops import pallas_kernels_cwide as pkc
+
+    rng = np.random.default_rng(6)
+    b = 2
+    h = jnp.asarray(rng.random((b, 64, 128)) * 360, jnp.float32)
+    s = jnp.asarray(rng.random((b, 64, 128)) * 0.999, jnp.float32)
+    v = jnp.asarray(rng.random((b, 64, 128)) * 0.999, jnp.float32)
+    c = cfg.num_cells
+    total = 64 * 128
+    cells = jax.vmap(lambda a, b2, c2: quantize.assign_cells(a, b2, c2, cfg))(
+        h, s, v).reshape(b, -1)
+    counts = jax.vmap(lambda x: quantize.cell_counts(x, c))(cells)
+    assign = jax.vmap(lambda cnt: quantize.parent_assignment(
+        cnt, total, cfg, tables))(counts)
+    with pltpu.force_tpu_interpret_mode():
+        opnds = jax.vmap(lambda a: pkc.cwide_tables(a, tables, c))(assign)
+        sums = pkc.palette_sums_by_k_cwide(
+            h.reshape(b, -1), s.reshape(b, -1), v.reshape(b, -1), cells,
+            *opnds, c)
+    ref = jax.vmap(lambda hh, ss, vv, cc2, a: quantize.palette_pixel_sums(
+        hh, ss, vv, cc2, a, cfg, tables))(h, s, v, cells, assign)
+    ref_by_k = jax.vmap(lambda sm, o: sm[o])(ref, assign.order)
+    assert np.array_equal(np.asarray(sums[..., 3]),
+                          np.asarray(ref_by_k[..., 3]))  # counts exact
+    assert np.abs(np.asarray(sums) - np.asarray(ref_by_k)).max() < 0.5
+
+
+def test_palette_cwide_selected_by_env(cfg, tables, monkeypatch):
+    """The env switch routes the fused palette pass through the C-wide
+    kernel with unchanged results."""
+    monkeypatch.setenv("PHOTOHIVE_PALETTE_KERNEL", "cwide")
+    rng = np.random.default_rng(7)
+    h = jnp.asarray(rng.random((1, 64, 128)) * 360, jnp.float32)
+    s = jnp.asarray(rng.random((1, 64, 128)) * 0.999, jnp.float32)
+    v = jnp.asarray(rng.random((1, 64, 128)) * 0.999, jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        fast = quantize.color_palette_batched(h, s, v, cfg, tables, True)
+    slow = quantize.color_palette_batched(h, s, v, cfg, tables, False)
+    assert (np.asarray(fast.parent_ids) == np.asarray(slow.parent_ids)).all()
+    assert np.array_equal(np.asarray(fast.percentages),
+                          np.asarray(slow.percentages))
+    assert np.abs(np.asarray(fast.hsv) - np.asarray(slow.hsv)).max() < 5e-3
+
+
 def test_polar_bin_sums_interpret(cfg):
     rng = np.random.default_rng(2)
     geom = polar_geometry(240, 320, cfg.angle_partitions,
