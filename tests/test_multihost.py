@@ -1,0 +1,104 @@
+"""Real 2-process multi-host exercise of the distributed init + corpus path.
+
+Round-1 left `parallel.mesh.initialize_distributed` and the
+``num_hosts``/``host_id`` corpus sharding as code-complete-but-unexercised.
+This test runs them for real: two OS processes, each its own JAX runtime,
+joined through the distributed coordinator (CPU backend, Gloo
+collectives — the same jax.distributed machinery a TPU pod uses over DCN).
+
+Covers:
+  * initialize_distributed wiring (coordinator, num_processes, process_id);
+  * a cross-process psum over a global 2-device mesh (the collective path
+    the spatially-sharded body rides between hosts);
+  * process_corpus(num_hosts=2, host_id=i) end to end in both processes
+    concurrently: per-host key partition, per-host JSONL shard + watermark,
+    disjointness and full coverage.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = textwrap.dedent("""
+    import json, os, sys
+    sys.path.insert(0, {repo!r})
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    port, pid, corpus_dir, out_dir = sys.argv[1:5]
+    from photohive_dsp_tpu.parallel.mesh import initialize_distributed
+    initialize_distributed(coordinator_address=f"localhost:{{port}}",
+                          num_processes=2, process_id=int(pid))
+    assert jax.process_count() == 2, jax.process_count()
+    assert jax.device_count() == 2, jax.device_count()
+
+    # Cross-process collective over the global mesh.
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, PartitionSpec as P
+    mesh = Mesh(np.asarray(jax.devices()).reshape(-1), ("data",))
+    f = jax.jit(jax.shard_map(lambda x: jax.lax.psum(x, "data"),
+                              mesh=mesh, in_specs=P("data"), out_specs=P()))
+    got = np.asarray(f(jnp.arange(2, dtype=jnp.float32)))
+    assert got.tolist() == [1.0], got
+
+    # Per-host corpus shard on this host's LOCAL devices (the multi-host
+    # corpus model: hosts share keys, not compute).
+    import glob
+    from photohive_dsp_tpu.config import ReportConfig
+    from photohive_dsp_tpu.utils.io import process_corpus
+    paths = sorted(glob.glob(os.path.join(corpus_dir, "*.png")))
+    n = process_corpus(paths, out_dir, cfg=ReportConfig(), mesh=None,
+                       batch_size=4, num_hosts=2, host_id=int(pid))
+    print("WORKER_OK", pid, n, flush=True)
+""").format(repo=REPO)
+
+
+@pytest.mark.slow
+def test_two_process_corpus(tmp_path):
+    from PIL import Image
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    rng = np.random.default_rng(0)
+    n_imgs = 6
+    for i in range(n_imgs):
+        arr = rng.integers(0, 256, (350, 350, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(corpus / f"img_{i}.png")
+    out_dir = tmp_path / "out"
+
+    worker = tmp_path / "worker.py"
+    worker.write_text(WORKER)
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)  # 1 local device per process
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(port), str(pid), str(corpus),
+         str(out_dir)], env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE, text=True) for pid in (0, 1)]
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err[-3000:]}"
+        assert "WORKER_OK" in out
+
+    keys = []
+    for pid in (0, 1):
+        shard = out_dir / f"reports.{pid}.jsonl"
+        assert shard.exists()
+        with open(shard) as f:
+            shard_keys = [json.loads(line)["key"] for line in f]
+        assert len(shard_keys) == n_imgs // 2  # even split
+        keys.append(set(shard_keys))
+    assert not keys[0] & keys[1], "hosts processed overlapping keys"
+    assert len(keys[0] | keys[1]) == n_imgs, "corpus not fully covered"
