@@ -152,14 +152,24 @@ class BatchRunner:
         return fn(jnp.asarray(images_u8), jnp.asarray(boxes),
                   jnp.asarray(boxes_valid), tables)
 
-    def run_stream_u8(self, batches) -> Iterator[ReportData]:
+    def run_stream_u8(self, batches, prefetch: int = 0)\
+            -> Iterator[ReportData]:
         """Streaming batches through the compiled pipeline.
 
-        Uploads are sequential device_puts: on this dev environment the TPU
-        sits behind a ~1.2 GB/s network tunnel where a background-thread
-        prefetcher was measured to *hurt* badly (transfer/compute contention
-        over the tunnel), so keep the simple order; uint8 transfer (60 MB
-        per 32x1080p batch) is comfortably hidden on real PCIe hosts."""
+        By default uploads are sequential device_puts: on this dev
+        environment the TPU sits behind a ~1.2 GB/s network tunnel where a
+        background-thread prefetcher was measured to *hurt* badly
+        (transfer/compute contention over the tunnel).  On a real PCIe/DMA
+        host set ``prefetch`` > 0 to device_put that many batches ahead in
+        a background thread, overlapping upload with compute (the standard
+        double-buffered input pipeline, SURVEY.md §7.4)."""
+        if prefetch > 0:
+            from ..utils.io import prefetch_iter
+            staged = ((jax.device_put(i), jax.device_put(b),
+                       jax.device_put(v)) for i, b, v in batches)
+            for images_u8, boxes, valid in prefetch_iter(staged, prefetch):
+                yield self.run_u8(images_u8, boxes, valid)
+            return
         for images_u8, boxes, valid in batches:
             yield self.run_u8(jax.device_put(images_u8),
                               jax.device_put(boxes), jax.device_put(valid))

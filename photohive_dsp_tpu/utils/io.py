@@ -17,7 +17,9 @@ from __future__ import annotations
 
 import json
 import os
+import queue
 import tempfile
+import threading
 from typing import Iterable, Iterator, Optional, Tuple
 
 import numpy as np
@@ -146,17 +148,55 @@ def _recover_shard(out_path: str) -> set:
     return keys
 
 
+def prefetch_iter(it: Iterable, depth: int) -> Iterator:
+    """Run ``it`` in a background thread, ``depth`` items ahead.
+
+    Overlaps host-side work (file read + PNG decode) with device compute:
+    while the chip crunches batch N the loader thread decodes batch N+1.
+    This stays strictly host-side — device_put order is unchanged, so the
+    tunnel-environment pathology with background *uploads* (CLAUDE.md)
+    does not apply.  Exceptions in the producer re-raise at the consumer.
+    """
+    if depth <= 0:
+        yield from it
+        return
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    done = object()
+
+    def producer():
+        try:
+            for item in it:
+                q.put(item)
+        except BaseException as e:  # noqa: BLE001 — re-raised at consumer
+            q.put((done, e))
+            return
+        q.put((done, None))
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if isinstance(item, tuple) and len(item) == 2 and item[0] is done:
+            if item[1] is not None:
+                raise item[1]
+            return
+        yield item
+
+
 def process_corpus(paths: Iterable[str], output_dir: str,
                    cfg: Optional[ReportConfig] = None, mesh=None,
                    batch_size: int = 32, num_hosts: int = 1,
-                   host_id: int = 0, flush_every: int = 64) -> int:
+                   host_id: int = 0, flush_every: int = 64,
+                   prefetch: int = 16) -> int:
     """Stream a corpus of image files into JSONL report shards, resumably.
 
     Returns the number of images processed this invocation.  Re-running
     after an interruption skips completed images via the watermark and
     the output shard itself (exactly-once output: reports written in the
     window between a flush and the watermark advance are detected by
-    ``_recover_shard`` and not re-emitted).
+    ``_recover_shard`` and not re-emitted).  ``prefetch`` images are
+    decoded ahead in a background thread (0 disables), overlapping the
+    host input pipeline with device compute.
     """
     cfg = cfg or ReportConfig()
     os.makedirs(output_dir, exist_ok=True)
@@ -183,8 +223,8 @@ def process_corpus(paths: Iterable[str], output_dir: str,
     processed = 0
     pending = []
     with open(out_path, "a") as out:
-        for key, data in run_corpus(images(), cfg, mesh=mesh,
-                                    batch_size=batch_size):
+        for key, data in run_corpus(prefetch_iter(images(), prefetch),
+                                    cfg, mesh=mesh, batch_size=batch_size):
             rep_h, rep_w = shapes[key]
             rep = Report(data, rep_h, rep_w, num_boxes=0, config=cfg)
             out.write(json.dumps({"key": str(key),

@@ -133,3 +133,36 @@ def test_corrupt_input_skipped(corpus, tmp_path):
     assert n == 2
     keys = {ln["key"] for ln in _shard_lines(out_dir)}
     assert keys == {corpus[0], corpus[1]}
+
+
+def test_prefetch_iter_order_and_exceptions():
+    """prefetch_iter yields the exact sequence and re-raises producer
+    exceptions at the consumer."""
+    assert list(phio.prefetch_iter(iter(range(100)), 8)) == list(range(100))
+    assert list(phio.prefetch_iter(iter([]), 4)) == []
+    # 2-tuples (the corpus item shape) are not mistaken for the sentinel
+    items = [(f"k{i}", i) for i in range(10)]
+    assert list(phio.prefetch_iter(iter(items), 3)) == items
+
+    def boom():
+        yield 1
+        raise RuntimeError("producer failed")
+
+    it = phio.prefetch_iter(boom(), 2)
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="producer failed"):
+        list(it)
+
+
+def test_process_corpus_with_prefetch_matches(corpus, tmp_path):
+    """Decode-ahead prefetching changes timing only, not output."""
+    out_a = str(tmp_path / "a")
+    out_b = str(tmp_path / "b")
+    na = phio.process_corpus(corpus, out_a, cfg=CFG, batch_size=4,
+                             prefetch=0)
+    nb = phio.process_corpus(corpus, out_b, cfg=CFG, batch_size=4,
+                             prefetch=8)
+    assert na == nb == N_IMAGES
+    la = {l["key"]: l["report"] for l in _shard_lines(out_a)}
+    lb = {l["key"]: l["report"] for l in _shard_lines(out_b)}
+    assert la == lb
