@@ -17,7 +17,7 @@ segment sums whose XLA lowerings either scatter (serialized on TPU), gather
     src/color_quantization.c:108-576).  The design rule: per pixel, only
     the two unavoidable cell-width (C, chunk) one-hot compares; every
     per-pixel table lookup is a single exact one-hot GEMM against a
-    (5*q_pad, C) candidate LUT, and the tie-break distance/argmin math runs
+    (12*q_pad, C) candidate LUT, and the tie-break distance/argmin math runs
     on (q_pad, chunk) arrays, where q_pad (~40) is the static bound on
     tie-candidate count from the exact distance-rank geometry — ~3x less
     VPU work than a full C-wide (112) formulation.  The per-bin sums are a
@@ -253,8 +253,30 @@ def palette_candidate_lut(assign, tables, num_cells: int,
     return jnp.concatenate([sec.T for sec in sections], axis=0)
 
 
-def _palette_kernel(h_ref, s_ref, v_ref, cell_ref, lut_ref, out_ref, *,
-                    num_cells: int, q_pad: int):
+def _cell_ids_row(hrow, srow, vrow, cfg) -> jnp.ndarray:
+    """In-kernel replica of quantize.assign_cells for one pixel row
+    (reference src/color_quantization.c:127-145, incl. the premature-int-
+    cast gray collapse).  All constants are Python floats/ints (Mosaic
+    rejects captured jnp scalars).  Computing the cell id from the h/s/v
+    rows the kernel already loads skips the (B, P) int32 cells array in
+    HBM entirely (an 8 B/px write+read on the XLA side)."""
+    black = float(cfg.black_thresh)
+    gray = float(cfg.gray_thresh)
+    # Same op sequence as assign_cells (division, not reciprocal-multiply)
+    # so cell boundaries resolve identically to the XLA histogram pass.
+    vi = jnp.clip((vrow - black) / float(cfg.cell_Lv), 0.0,
+                  cfg.v_partitions - 1e-6).astype(jnp.int32)
+    si = jnp.clip((srow - gray) / float(cfg.cell_Ls), 0.0,
+                  cfg.s_partitions - 1e-6).astype(jnp.int32)
+    hi = jnp.clip(hrow / float(cfg.cell_Lh), 0.0,
+                  cfg.h_partitions - 1e-6).astype(jnp.int32)
+    color_id = (hi * cfg.s_partitions + si) * cfg.v_partitions + vi
+    return jnp.where(vrow < black, cfg.black_id,
+                     jnp.where(srow < gray, cfg.gray_start, color_id))
+
+
+def _palette_kernel(h_ref, s_ref, v_ref, lut_ref, out_ref, *,
+                    num_cells: int, q_pad: int, cfg):
     """Per-pixel parent resolution + palette sums, tie-exact and branchless.
 
     Per 1024-pixel row: one single-pass bf16 GEMM gathers all candidate
@@ -264,7 +286,8 @@ def _palette_kernel(h_ref, s_ref, v_ref, cell_ref, lut_ref, out_ref, *,
     through a second single-pass GEMM whose value rows are bf16-split
     (exact 0/1 count column; hue/sat/val sums exact per product).  The two
     GEMMs streaming one pass instead of Precision.HIGHEST's six is worth
-    ~2x on the whole kernel."""
+    ~2x on the whole kernel.  Cell ids are computed in-kernel from the
+    h/s/v rows (padded pixels carry the hue sentinel -1)."""
     step = pl.program_id(1)
     c = num_cells
     q = q_pad
@@ -280,8 +303,8 @@ def _palette_kernel(h_ref, s_ref, v_ref, cell_ref, lut_ref, out_ref, *,
         hrow = h_ref[0, pl.ds(j, 1), :]                   # (1, CHUNK)
         srow = s_ref[0, pl.ds(j, 1), :]
         vrow = v_ref[0, pl.ds(j, 1), :]
-        crow = cell_ref[0, pl.ds(j, 1), :]
-        in_img = (crow < c).astype(jnp.float32)           # (1, CHUNK)
+        in_img = (hrow >= 0.0).astype(jnp.float32)        # (1, CHUNK)
+        crow = _cell_ids_row(jnp.maximum(hrow, 0.0), srow, vrow, cfg)
         oh_c = (iota_c == crow).astype(jnp.float32)       # (C, CHUNK)
         # All candidate lookups in one single-pass bf16 GEMM: every LUT row
         # is bf16-exact and the one-hot is 0/1, so each product is exact and
@@ -340,30 +363,33 @@ def _palette_kernel(h_ref, s_ref, v_ref, cell_ref, lut_ref, out_ref, *,
 
 
 def palette_sums_by_k(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray,
-                      cells: jnp.ndarray, luts: jnp.ndarray,
-                      num_cells: int, q_pad: int) -> jnp.ndarray:
+                      luts: jnp.ndarray, num_cells: int, q_pad: int,
+                      cfg) -> jnp.ndarray:
     """Palette sums per valid-order slot: (B, P) pixels -> (B, C, 4) f32 of
     [sum wrapped-hue, sum s, sum v, count] — the valid_parents layout that
     quantize.palette_finalize_by_k consumes.  ``luts`` is the batched
-    (B, 12*q_pad, C) output of palette_candidate_lut."""
+    (B, 12*q_pad, C) output of palette_candidate_lut.  Cell ids are
+    recomputed in-kernel (_cell_ids_row) — no (B, P) cells input; padded
+    pixels are marked by the hue fill sentinel -1."""
     b = h.shape[0]
     c = num_cells
-    sh = functools.partial(_shape_pixels, fill=0.0)
-    shaped_cells = _shape_pixels(cells.astype(jnp.int32), c)
-    t = shaped_cells.shape[1] // _ROWS
+    shaped_h = _shape_pixels(h, -1.0)
+    sv = functools.partial(_shape_pixels, fill=0.0)
+    t = shaped_h.shape[1] // _ROWS
 
     pix = pl.BlockSpec((1, _ROWS, _CHUNK), lambda bb, i: (bb, i, 0),
                        memory_space=pltpu.VMEM)
     lut = pl.BlockSpec((1, 12 * q_pad, c), lambda bb, i: (bb, 0, 0),
                        memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_palette_kernel, num_cells=c, q_pad=q_pad),
+        functools.partial(_palette_kernel, num_cells=c, q_pad=q_pad,
+                          cfg=cfg),
         grid=(b, t),
-        in_specs=[pix, pix, pix, pix, lut],
+        in_specs=[pix, pix, pix, lut],
         out_specs=pl.BlockSpec((1, c, 16), lambda bb, i: (bb, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, c, 16), jnp.float32),
-    )(sh(h), sh(s), sh(v), shaped_cells, luts)
+    )(shaped_h, sv(s), sv(v), luts)
     # Recombine the split columns: [count | hue x3 | sat x3 | val x3 | pad].
     return jnp.stack(
         [out[..., 1] + out[..., 2] + out[..., 3],

@@ -31,14 +31,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_kernels import _CHUNK, _ROWS, _shape_pixels
+from .pallas_kernels import _CHUNK, _ROWS, _cell_ids_row, _shape_pixels
 
 _BIG = 3.0e38
 
 
-def _palette_kernel_cwide(h_ref, s_ref, v_ref, cell_ref, allowedT_ref,
+def _palette_kernel_cwide(h_ref, s_ref, v_ref, allowedT_ref,
                           ch_ref, cs_ref, cv_ref, out_ref, *,
-                          num_cells: int):
+                          num_cells: int, cfg):
     step = pl.program_id(1)
     c = num_cells
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (c, _CHUNK), 0)
@@ -61,8 +61,8 @@ def _palette_kernel_cwide(h_ref, s_ref, v_ref, cell_ref, allowedT_ref,
         hrow = h_ref[0, pl.ds(j, 1), :]                   # (1, CHUNK)
         srow = s_ref[0, pl.ds(j, 1), :]
         vrow = v_ref[0, pl.ds(j, 1), :]
-        crow = cell_ref[0, pl.ds(j, 1), :]
-        in_img = (crow < c).astype(jnp.float32)           # (1, CHUNK)
+        in_img = (hrow >= 0.0).astype(jnp.float32)        # (1, CHUNK)
+        crow = _cell_ids_row(jnp.maximum(hrow, 0.0), srow, vrow, cfg)
         oh_c = (iota_c == crow).astype(jnp.float32)       # (C, CHUNK)
         # Gather each pixel's allowed-mask row: one exact single-pass GEMM
         # (0/1 x 0/1, one term per output element).
@@ -124,15 +124,16 @@ def cwide_tables(assign, tables, num_cells: int):
             bcast(centers_by_k[:, 2]))
 
 
-def palette_sums_by_k_cwide(h, s, v, cells, allowedT, ch, cs, cv,
-                            num_cells: int) -> jnp.ndarray:
-    """(B, P) pixels -> (B, C, 16) split palette sums in valid order, same
-    output layout/recombination as pallas_kernels.palette_sums_by_k."""
+def palette_sums_by_k_cwide(h, s, v, allowedT, ch, cs, cv,
+                            num_cells: int, cfg) -> jnp.ndarray:
+    """(B, P) pixels -> (B, C, 4) palette sums in valid order, same output
+    layout/recombination as pallas_kernels.palette_sums_by_k.  Cell ids
+    are computed in-kernel; padded pixels carry the hue sentinel -1."""
     b = h.shape[0]
     c = num_cells
-    sh = functools.partial(_shape_pixels, fill=0.0)
-    shaped_cells = _shape_pixels(cells.astype(jnp.int32), c)
-    t = shaped_cells.shape[1] // _ROWS
+    shaped_h = _shape_pixels(h, -1.0)
+    sv = functools.partial(_shape_pixels, fill=0.0)
+    t = shaped_h.shape[1] // _ROWS
 
     pix = pl.BlockSpec((1, _ROWS, _CHUNK), lambda bb, i: (bb, i, 0),
                        memory_space=pltpu.VMEM)
@@ -141,13 +142,13 @@ def palette_sums_by_k_cwide(h, s, v, cells, allowedT, ch, cs, cv,
     col = pl.BlockSpec((1, c, 128), lambda bb, i: (bb, 0, 0),
                        memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_palette_kernel_cwide, num_cells=c),
+        functools.partial(_palette_kernel_cwide, num_cells=c, cfg=cfg),
         grid=(b, t),
-        in_specs=[pix, pix, pix, pix, mat, col, col, col],
+        in_specs=[pix, pix, pix, mat, col, col, col],
         out_specs=pl.BlockSpec((1, c, 16), lambda bb, i: (bb, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, c, 16), jnp.float32),
-    )(sh(h), sh(s), sh(v), shaped_cells, allowedT, ch, cs, cv)
+    )(shaped_h, sv(s), sv(v), allowedT, ch, cs, cv)
     return jnp.stack(
         [out[..., 1] + out[..., 2] + out[..., 3],
          out[..., 4] + out[..., 5] + out[..., 6],

@@ -345,7 +345,7 @@ def color_palette(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray,
 
 
 def palette_sums_by_k_auto(hf: jnp.ndarray, sf: jnp.ndarray,
-                           vf: jnp.ndarray, cells: jnp.ndarray,
+                           vf: jnp.ndarray,
                            assign: ParentAssignment, counts: jnp.ndarray,
                            cfg: ReportConfig, tables: OctreeTables)\
         -> jnp.ndarray:
@@ -373,7 +373,7 @@ def palette_sums_by_k_auto(hf: jnp.ndarray, sf: jnp.ndarray,
     if os.environ.get("PHOTOHIVE_PALETTE_KERNEL") == "cwide":
         from . import pallas_kernels_cwide as pkc
         opnds = jax.vmap(lambda a: pkc.cwide_tables(a, tables, c))(assign)
-        return pkc.palette_sums_by_k_cwide(hf, sf, vf, cells, *opnds, c)
+        return pkc.palette_sums_by_k_cwide(hf, sf, vf, *opnds, c, cfg)
     q_full = max(8, -(-octree_geometry(cfg).max_tie_candidates // 8) * 8)
     q_small = 8
 
@@ -381,7 +381,7 @@ def palette_sums_by_k_auto(hf: jnp.ndarray, sf: jnp.ndarray,
         def body(_):
             luts = jax.vmap(lambda a: pk.palette_candidate_lut(
                 a, tables, c, q_pad))(assign)
-            return pk.palette_sums_by_k(hf, sf, vf, cells, luts, c, q_pad)
+            return pk.palette_sums_by_k(hf, sf, vf, luts, c, q_pad, cfg)
         return body
 
     if q_full == q_small:
@@ -423,7 +423,7 @@ def color_palette_batched(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray,
     )(counts, order)
     if use_pallas:
         sums_by_k = palette_sums_by_k_auto(
-            h.reshape(b, -1), s.reshape(b, -1), v.reshape(b, -1), cells,
+            h.reshape(b, -1), s.reshape(b, -1), v.reshape(b, -1),
             assign, counts, cfg, tables)
         return jax.vmap(
             lambda sk, a: palette_finalize_by_k(sk, a, total_pixels, tables)

@@ -369,15 +369,18 @@ def spatial_report_body(rgb_local: jnp.ndarray, down_local: jnp.ndarray,
 
     # palette: psum histogram -> replicated selection -> psum pixel sums
     cells = quantize.assign_cells(h, s, v, cfg).reshape(-1)
+    h_pal = h
     if d_padded:
         dv = (idx * d_local_h + jnp.arange(d_local_h)) < d_h     # (d_lh,)
         dv_pix = jnp.broadcast_to(dv[:, None],
                                   (d_local_h, down_local.shape[2]))
-        # Sentinel cell id C marks out-of-image pixels: both the XLA
-        # compare-reduce histogram / pixel pass and the Pallas kernels
-        # (in_img = cell < C) drop them exactly.
+        # Out-of-image pixels are dropped exactly by both paths: sentinel
+        # cell id C for the XLA compare-reduce histogram / pixel pass, hue
+        # sentinel -1 for the Pallas kernels (which recompute cell ids
+        # in-kernel and take in_img = hue >= 0).
         cells = jnp.where(dv_pix.reshape(-1), cells,
                           jnp.int32(cfg.num_cells))
+        h_pal = jnp.where(dv_pix, h, jnp.float32(-1.0))
         s_bar = jax.lax.psum(jnp.sum(s * dv_pix), axis_name) / d_total
     else:
         s_bar = jax.lax.psum(jnp.sum(s), axis_name) / d_total
@@ -390,8 +393,8 @@ def spatial_report_body(rgb_local: jnp.ndarray, down_local: jnp.ndarray,
         assign = quantize.parent_assignment_from_order(counts, order,
                                                        d_total, cfg, octree)
         sums_k = quantize.palette_sums_by_k_auto(
-            h.reshape(1, -1), s.reshape(1, -1), v.reshape(1, -1),
-            cells[None], jax.tree.map(lambda x: x[None], assign),
+            h_pal.reshape(1, -1), s.reshape(1, -1), v.reshape(1, -1),
+            jax.tree.map(lambda x: x[None], assign),
             counts[None], cfg, octree)[0]
         sums_k = jax.lax.psum(sums_k, axis_name)
         palette = quantize.palette_finalize_by_k(sums_k, assign, d_total,

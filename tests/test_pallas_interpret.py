@@ -63,7 +63,7 @@ def test_palette_kernel_interpret_wide_branch(cfg, tables):
         luts = jax.vmap(lambda a: pk.palette_candidate_lut(
             a, tables, c, 40))(assign)
         sums = pk.palette_sums_by_k(h.reshape(1, -1), s.reshape(1, -1),
-                                    v.reshape(1, -1), cells, luts, c, 40)
+                                    v.reshape(1, -1), luts, c, 40, cfg)
     ref = jax.vmap(lambda hh, ss, vv, cc2, a: quantize.palette_pixel_sums(
         hh, ss, vv, cc2, a, cfg, tables))(h, s, v, cells, assign)
     ref_by_k = jax.vmap(lambda sm, o: sm[o])(ref, assign.order)
@@ -92,8 +92,8 @@ def test_palette_kernel_cwide_interpret(cfg, tables):
     with pltpu.force_tpu_interpret_mode():
         opnds = jax.vmap(lambda a: pkc.cwide_tables(a, tables, c))(assign)
         sums = pkc.palette_sums_by_k_cwide(
-            h.reshape(b, -1), s.reshape(b, -1), v.reshape(b, -1), cells,
-            *opnds, c)
+            h.reshape(b, -1), s.reshape(b, -1), v.reshape(b, -1),
+            *opnds, c, cfg)
     ref = jax.vmap(lambda hh, ss, vv, cc2, a: quantize.palette_pixel_sums(
         hh, ss, vv, cc2, a, cfg, tables))(h, s, v, cells, assign)
     ref_by_k = jax.vmap(lambda sm, o: sm[o])(ref, assign.order)

@@ -258,7 +258,7 @@ def test_spatial_pallas_shard_logic_interpret():
         for k in range(n):  # per-shard row slices, exactly the body's
             sl = slice(k * chunk, (k + 1) * chunk)
             part = quantize.palette_sums_by_k_auto(
-                hf[sl][None], sf[sl][None], vf[sl][None], cells[sl][None],
+                hf[sl][None], sf[sl][None], vf[sl][None],
                 jax.tree.map(lambda x: x[None], assign), counts[None],
                 CFG, octree)[0]
             sums_k = part if sums_k is None else sums_k + part

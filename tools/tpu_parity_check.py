@@ -108,9 +108,8 @@ def main() -> int:
             cnt, 480 * 640, cfg, tables))(counts)
         luts = jax.vmap(lambda a: pk.palette_candidate_lut(
             a, tables, c, q_full))(assign)
-        wide = jax.jit(lambda *a: pk.palette_sums_by_k(*a, c, q_full))(
-            h.reshape(b, -1), s.reshape(b, -1), v.reshape(b, -1), cells,
-            luts)
+        wide = jax.jit(lambda *a: pk.palette_sums_by_k(*a, c, q_full, cfg))(
+            h.reshape(b, -1), s.reshape(b, -1), v.reshape(b, -1), luts)
         ref_sums = jax.jit(jax.vmap(
             lambda hh, ss, vv, cc2, a: quantize.palette_pixel_sums(
                 hh, ss, vv, cc2, a, cfg, tables)[a.order]))(
@@ -118,6 +117,16 @@ def main() -> int:
             v.reshape(b, 480, 640), cells, assign)
         check("wide palette kernel counts exact", bool(np.array_equal(
             np.asarray(wide[..., 3]), np.asarray(ref_sums[..., 3]))))
+
+        # C-wide A/B kernel variant on-chip
+        from photohive_dsp_tpu.ops import pallas_kernels_cwide as pkc
+        opnds = jax.vmap(lambda a: pkc.cwide_tables(a, tables, c))(assign)
+        cw = jax.jit(lambda *a: pkc.palette_sums_by_k_cwide(*a, c, cfg))(
+            h.reshape(b, -1), s.reshape(b, -1), v.reshape(b, -1), *opnds)
+        check("cwide palette kernel counts exact", bool(np.array_equal(
+            np.asarray(cw[..., 3]), np.asarray(ref_sums[..., 3]))))
+        check("cwide matches wide kernel", bool(np.abs(
+            np.asarray(cw) - np.asarray(wide)).max() < 0.5))
 
     # full pipeline
     rgb = jnp.asarray(rng.random((b, 3, 480, 640)), jnp.float32)
