@@ -136,6 +136,19 @@ def main():
         t = measure((stage,))
         print(f"  -{stage:<10} {t*1000:7.1f} ms   delta {1000*(base-t):+7.1f} ms")
 
+    if use_pallas:
+        # Palette-kernel A/B: same fused program under each variant (the
+        # env switch is read at trace time in palette_sums_by_k_auto).
+        print("palette kernel A/B (full fused program):")
+        for variant in ("candidate", "cwide"):
+            if variant == "cwide":
+                os.environ["PHOTOHIVE_PALETTE_KERNEL"] = "cwide"
+            else:
+                os.environ.pop("PHOTOHIVE_PALETTE_KERNEL", None)
+            t = measure(())
+            print(f"  {variant:<10} {t*1000:7.1f} ms  ({mp/t:.1f} MP/s)")
+        os.environ.pop("PHOTOHIVE_PALETTE_KERNEL", None)
+
 
 if __name__ == "__main__":
     main()
