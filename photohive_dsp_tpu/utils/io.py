@@ -183,11 +183,47 @@ def prefetch_iter(it: Iterable, depth: int) -> Iterator:
         yield item
 
 
+def parallel_map_iter(fn, items: Iterable, workers: int,
+                      depth: int) -> Iterator:
+    """Ordered ``map(fn, items)`` with a worker thread pool, ``depth``
+    results in flight.
+
+    The decode thread pool for the corpus driver: PIL/libpng and the
+    native .txt parser release the GIL, so ``workers`` files decode
+    concurrently while results stream out in submission order.  Per-item
+    exceptions re-raise at the consumer in order (callers that want to
+    skip corrupt files catch around ``fn`` itself).
+    """
+    if workers <= 1:
+        yield from map(fn, items)
+        return
+    import concurrent.futures as cf
+
+    with cf.ThreadPoolExecutor(max_workers=workers) as pool:
+        pending: "queue.SimpleQueue" = queue.SimpleQueue()
+        it = iter(items)
+        n_in_flight = 0
+        exhausted = False
+        while True:
+            while n_in_flight < depth and not exhausted:
+                try:
+                    item = next(it)
+                except StopIteration:
+                    exhausted = True
+                    break
+                pending.put(pool.submit(fn, item))
+                n_in_flight += 1
+            if n_in_flight == 0:
+                return
+            yield pending.get().result()
+            n_in_flight -= 1
+
+
 def process_corpus(paths: Iterable[str], output_dir: str,
                    cfg: Optional[ReportConfig] = None, mesh=None,
                    batch_size: int = 32, num_hosts: int = 1,
                    host_id: int = 0, flush_every: int = 64,
-                   prefetch: int = 16) -> int:
+                   prefetch: int = 16, decode_workers: int = 4) -> int:
     """Stream a corpus of image files into JSONL report shards, resumably.
 
     Returns the number of images processed this invocation.  Re-running
@@ -195,8 +231,9 @@ def process_corpus(paths: Iterable[str], output_dir: str,
     the output shard itself (exactly-once output: reports written in the
     window between a flush and the watermark advance are detected by
     ``_recover_shard`` and not re-emitted).  ``prefetch`` images are
-    decoded ahead in a background thread (0 disables), overlapping the
-    host input pipeline with device compute.
+    decoded ahead in the background (0 disables) by a pool of
+    ``decode_workers`` threads (PIL and the native .txt parser release
+    the GIL), overlapping the host input pipeline with device compute.
     """
     cfg = cfg or ReportConfig()
     os.makedirs(output_dir, exist_ok=True)
@@ -210,12 +247,18 @@ def process_corpus(paths: Iterable[str], output_dir: str,
 
     shapes = {}
 
+    def load_one(p):
+        try:
+            return p, load_image_u8(p)
+        except Exception as e:  # corrupt file: record and continue
+            print(f"skipping {p}: {e}")
+            return p, None
+
     def images() -> Iterator[Tuple[str, np.ndarray]]:
-        for p in my_paths:
-            try:
-                img = load_image_u8(p)
-            except Exception as e:  # corrupt file: record and continue
-                print(f"skipping {p}: {e}")
+        decoded = parallel_map_iter(load_one, my_paths, decode_workers,
+                                    max(prefetch, 2 * decode_workers))
+        for p, img in decoded:
+            if img is None:
                 continue
             shapes[p] = (img.shape[0], img.shape[1])
             yield p, img

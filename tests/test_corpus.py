@@ -166,3 +166,48 @@ def test_process_corpus_with_prefetch_matches(corpus, tmp_path):
     la = {l["key"]: l["report"] for l in _shard_lines(out_a)}
     lb = {l["key"]: l["report"] for l in _shard_lines(out_b)}
     assert la == lb
+
+
+def test_parallel_map_iter_order_exceptions_laziness():
+    calls = []
+
+    def f(x):
+        calls.append(x)
+        if x == 7:
+            raise ValueError("item 7")
+        return x * 2
+
+    assert list(phio.parallel_map_iter(f, range(6), 4, 8)) == \
+        [0, 2, 4, 6, 8, 10]
+    out = []
+    with pytest.raises(ValueError, match="item 7"):
+        for y in phio.parallel_map_iter(f, range(10), 3, 4):
+            out.append(y)
+    assert out == [0, 2, 4, 6, 8, 10, 12]  # order held up to the failure
+    # workers<=1 degenerates to plain map
+    assert list(phio.parallel_map_iter(lambda x: x + 1, range(5), 1, 4)) == \
+        [1, 2, 3, 4, 5]
+    # laziness: an infinite source only advances ~depth ahead
+    import itertools
+    seen = []
+
+    def g(x):
+        seen.append(x)
+        return x
+
+    it = phio.parallel_map_iter(g, itertools.count(), 2, 3)
+    assert [next(it) for _ in range(5)] == [0, 1, 2, 3, 4]
+    assert max(seen) <= 5 + 3
+
+
+def test_process_corpus_decode_workers_match(corpus, tmp_path):
+    out_a = str(tmp_path / "a")
+    out_b = str(tmp_path / "b")
+    na = phio.process_corpus(corpus, out_a, cfg=CFG, batch_size=4,
+                             decode_workers=1)
+    nb = phio.process_corpus(corpus, out_b, cfg=CFG, batch_size=4,
+                             decode_workers=4)
+    assert na == nb == N_IMAGES
+    la = {l["key"]: l["report"] for l in _shard_lines(out_a)}
+    lb = {l["key"]: l["report"] for l in _shard_lines(out_b)}
+    assert la == lb
