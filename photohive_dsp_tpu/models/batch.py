@@ -31,8 +31,18 @@ def _want_pallas() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
+def _kernel_variant() -> str:
+    """Palette-kernel selection, part of every compiled-program cache key
+    below so flipping PHOTOHIVE_PALETTE_KERNEL mid-process re-traces
+    instead of silently reusing the previous kernel's executable."""
+    from ..ops.quantize import palette_kernel_variant
+
+    return palette_kernel_variant()
+
+
 @functools.lru_cache(maxsize=32)
-def _compiled_batch_fn(height: int, width: int, cfg: ReportConfig):
+def _compiled_batch_fn(height: int, width: int, cfg: ReportConfig,
+                       variant: str = ""):
     from .pipeline import full_report_batched
 
     tables = ReportTables.build(height, width, cfg)
@@ -42,7 +52,8 @@ def _compiled_batch_fn(height: int, width: int, cfg: ReportConfig):
 
 
 @functools.lru_cache(maxsize=32)
-def _compiled_u8_batch_fn(height: int, width: int, cfg: ReportConfig):
+def _compiled_u8_batch_fn(height: int, width: int, cfg: ReportConfig,
+                          variant: str = ""):
     """Batch fn taking device-resident uint8 (B, H, W, 3) images: the
     host->device transfer moves 4x less data and the planarize/normalize
     runs on-device fused into the pipeline."""
@@ -68,11 +79,12 @@ SPATIAL_ROUTE_MP = float(os.environ.get("PHOTOHIVE_SPATIAL_MP", "8.0"))
 
 @functools.lru_cache(maxsize=8)
 def _dp_spatial_u8_fn(mesh, batch: int, height: int, width: int,
-                      cfg: ReportConfig):
+                      cfg: ReportConfig, variant: str = ""):
     from ..parallel.spatial import build_dp_spatial_report
 
     run = build_dp_spatial_report(mesh, batch, height, width, cfg,
-                                  use_pallas=_want_pallas())
+                                  use_pallas=_want_pallas(),
+                                  variant=variant)
 
     @jax.jit
     def fn(u8, boxes, valid):
@@ -129,7 +141,8 @@ class BatchRunner:
                 boxes = np.concatenate([boxes, np.repeat(boxes[-1:], pad, 0)])
                 boxes_valid = np.concatenate(
                     [boxes_valid, np.repeat(boxes_valid[-1:], pad, 0)])
-            fn = _dp_spatial_u8_fn(self.mesh, b + pad, h, w, self.cfg)
+            fn = _dp_spatial_u8_fn(self.mesh, b + pad, h, w, self.cfg,
+                                   _kernel_variant())
             out = fn(jnp.asarray(images_u8), jnp.asarray(boxes),
                      jnp.asarray(boxes_valid))
             return jax.tree.map(lambda x: x[:b], out) if pad else out
@@ -144,11 +157,13 @@ class BatchRunner:
                     [boxes_valid, np.repeat(boxes_valid[-1:], pad, 0)])
             fn, tables = data_parallel_report_u8(h, w, self.cfg,
                                                  self._flat_mesh,
-                                                 _want_pallas())
+                                                 _want_pallas(),
+                                                 _kernel_variant())
             out = fn(jnp.asarray(images_u8), jnp.asarray(boxes),
                      jnp.asarray(boxes_valid), tables)
             return jax.tree.map(lambda x: x[:b], out) if pad else out
-        fn, tables = _compiled_u8_batch_fn(h, w, self.cfg)
+        fn, tables = _compiled_u8_batch_fn(h, w, self.cfg,
+                                           _kernel_variant())
         return fn(jnp.asarray(images_u8), jnp.asarray(boxes),
                   jnp.asarray(boxes_valid), tables)
 
@@ -194,7 +209,8 @@ class BatchRunner:
         if self.routes_spatially(h, w):
             from ..parallel.spatial import build_dp_spatial_report
             fn = build_dp_spatial_report(self.mesh, b + pad, h, w, self.cfg,
-                                         use_pallas=_want_pallas())
+                                         use_pallas=_want_pallas(),
+                                         variant=_kernel_variant())
             out = fn(jnp.asarray(images), jnp.asarray(boxes),
                      jnp.asarray(boxes_valid))
         else:
@@ -202,7 +218,8 @@ class BatchRunner:
                 from ..parallel.sharding import data_parallel_report
                 fn, tables = data_parallel_report(h, w, self.cfg,
                                                   self._flat_mesh,
-                                                  _want_pallas())
+                                                  _want_pallas(),
+                                                  _kernel_variant())
             else:
                 fn, tables = _compiled_batch_fn(h, w, self.cfg)
             out = fn(jnp.asarray(images), jnp.asarray(boxes),

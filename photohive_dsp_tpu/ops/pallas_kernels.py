@@ -46,6 +46,28 @@ _CHUNK = 1024
 _BIG = 3.0e38  # python float: jnp scalars captured in kernels are rejected
 
 
+def _split3(x):
+    """In-kernel 3-term bf16 rounding split: x ~= a+b+c with each term
+    bf16-exact, so a DEFAULT-precision (single bf16 pass) one-hot GEMM
+    sums them ~2^-24-accurately.  Shared by the palette kernels (the
+    bit-exact variant for LUT values is _trunc_split3 below)."""
+    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    r = x - hi
+    mid = r.astype(jnp.bfloat16).astype(jnp.float32)
+    return hi, mid, r - mid
+
+
+def _recombine_split_sums(out: jnp.ndarray) -> jnp.ndarray:
+    """(..., 16) split-column kernel output -> (..., 4) palette sums
+    [sum wrapped-hue, sum s, sum v, count].  Column layout (shared by
+    both palette kernels): [count | hue x3 | sat x3 | val x3 | pad x6]."""
+    return jnp.stack(
+        [out[..., 1] + out[..., 2] + out[..., 3],
+         out[..., 4] + out[..., 5] + out[..., 6],
+         out[..., 7] + out[..., 8] + out[..., 9],
+         out[..., 0]], axis=-1)
+
+
 def _pad_to(x: jnp.ndarray, mult: int, axis: int, value) -> jnp.ndarray:
     pad = (-x.shape[axis]) % mult
     if pad == 0:
@@ -264,6 +286,10 @@ def _cell_ids_row(hrow, srow, vrow, cfg) -> jnp.ndarray:
     gray = float(cfg.gray_thresh)
     # Same op sequence as assign_cells (division, not reciprocal-multiply)
     # so cell boundaries resolve identically to the XLA histogram pass.
+    # RISK (on-chip validated by tools/tpu_parity_check.py "palette pct
+    # exact"): if Mosaic ever lowered this divide/clip differently from
+    # XLA:TPU, a boundary pixel could land in different cells for counts
+    # vs sums; interpret mode cannot catch that (shared CPU lowering).
     vi = jnp.clip((vrow - black) / float(cfg.cell_Lv), 0.0,
                   cfg.v_partitions - 1e-6).astype(jnp.int32)
     si = jnp.clip((srow - gray) / float(cfg.cell_Ls), 0.0,
@@ -292,12 +318,7 @@ def _palette_kernel(h_ref, s_ref, v_ref, lut_ref, out_ref, *,
     c = num_cells
     q = q_pad
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (c, _CHUNK), 0)
-
-    def split3(x):
-        hi = x.astype(jnp.bfloat16).astype(jnp.float32)
-        r = x - hi
-        mid = r.astype(jnp.bfloat16).astype(jnp.float32)
-        return hi, mid, r - mid
+    split3 = _split3
 
     def row(j, acc):
         hrow = h_ref[0, pl.ds(j, 1), :]                   # (1, CHUNK)
@@ -390,12 +411,7 @@ def palette_sums_by_k(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, c, 16), jnp.float32),
     )(shaped_h, sv(s), sv(v), luts)
-    # Recombine the split columns: [count | hue x3 | sat x3 | val x3 | pad].
-    return jnp.stack(
-        [out[..., 1] + out[..., 2] + out[..., 3],
-         out[..., 4] + out[..., 5] + out[..., 6],
-         out[..., 7] + out[..., 8] + out[..., 9],
-         out[..., 0]], axis=-1)
+    return _recombine_split_sums(out)
 
 
 # ---------------------------------------------------------------------------

@@ -31,9 +31,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_kernels import _CHUNK, _ROWS, _cell_ids_row, _shape_pixels
-
-_BIG = 3.0e38
+from .pallas_kernels import (_BIG, _CHUNK, _ROWS, _cell_ids_row,
+                             _recombine_split_sums, _shape_pixels, _split3)
 
 
 def _palette_kernel_cwide(h_ref, s_ref, v_ref, allowedT_ref,
@@ -50,12 +49,7 @@ def _palette_kernel_cwide(h_ref, s_ref, v_ref, allowedT_ref,
     cs = cs_ref[0][:, 0:1]
     cv = cv_ref[0][:, 0:1]
     off_col = jnp.float32(180.0) - ch                     # (C, 1)
-
-    def split3(x):
-        hi = x.astype(jnp.bfloat16).astype(jnp.float32)
-        r = x - hi
-        mid = r.astype(jnp.bfloat16).astype(jnp.float32)
-        return hi, mid, r - mid
+    split3 = _split3
 
     def row(j, acc):
         hrow = h_ref[0, pl.ds(j, 1), :]                   # (1, CHUNK)
@@ -149,8 +143,4 @@ def palette_sums_by_k_cwide(h, s, v, allowedT, ch, cs, cv,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, c, 16), jnp.float32),
     )(shaped_h, sv(s), sv(v), allowedT, ch, cs, cv)
-    return jnp.stack(
-        [out[..., 1] + out[..., 2] + out[..., 3],
-         out[..., 4] + out[..., 5] + out[..., 6],
-         out[..., 7] + out[..., 8] + out[..., 9],
-         out[..., 0]], axis=-1)
+    return _recombine_split_sums(out)

@@ -344,6 +344,19 @@ def color_palette(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray,
     return palette_finalize(sums, assign, total_pixels, tables)
 
 
+def palette_kernel_variant() -> str:
+    """Selected Pallas palette kernel ('candidate' or 'cwide').
+
+    Read at TRACE time; any function that caches a traced program around
+    the palette pass must include this value in its cache key (the
+    lru-cached builders in models/batch.py and parallel/ do), or a flip
+    of the env var mid-process would silently reuse the old kernel.
+    """
+    import os
+
+    return os.environ.get("PHOTOHIVE_PALETTE_KERNEL", "candidate")
+
+
 def palette_sums_by_k_auto(hf: jnp.ndarray, sf: jnp.ndarray,
                            vf: jnp.ndarray,
                            assign: ParentAssignment, counts: jnp.ndarray,
@@ -365,12 +378,10 @@ def palette_sums_by_k_auto(hf: jnp.ndarray, sf: jnp.ndarray,
     PHOTOHIVE_PALETTE_KERNEL=cwide selects the C-wide A/B variant
     (ops/pallas_kernels_cwide.py) instead — identical results, different
     MXU:VPU balance; measure both on silicon."""
-    import os
-
     from . import pallas_kernels as pk
 
     c = cfg.num_cells
-    if os.environ.get("PHOTOHIVE_PALETTE_KERNEL") == "cwide":
+    if palette_kernel_variant() == "cwide":
         from . import pallas_kernels_cwide as pkc
         opnds = jax.vmap(lambda a: pkc.cwide_tables(a, tables, c))(assign)
         return pkc.palette_sums_by_k_cwide(hf, sf, vf, *opnds, c, cfg)

@@ -41,7 +41,8 @@ def _dp_shard_map(mesh: Mesh, body):
 
 @functools.lru_cache(maxsize=16)
 def data_parallel_report(height: int, width: int, cfg: ReportConfig,
-                         mesh: Mesh, use_pallas: bool = False):
+                         mesh: Mesh, use_pallas: bool = False,
+                         variant: str = ""):
     """Compiled batch-report step with the batch dim sharded over ``data``.
 
     Returns (fn, tables); fn(batch_rgb, boxes, valid, tables) -> ReportData
@@ -60,7 +61,8 @@ def data_parallel_report(height: int, width: int, cfg: ReportConfig,
 
 @functools.lru_cache(maxsize=16)
 def data_parallel_report_u8(height: int, width: int, cfg: ReportConfig,
-                            mesh: Mesh, use_pallas: bool = False):
+                            mesh: Mesh, use_pallas: bool = False,
+                            variant: str = ""):
     """uint8 variant: fn(u8 (B,H,W,3), boxes, valid, tables) -> ReportData.
 
     The host->device transfer moves 4x less data than f32 and the

@@ -427,7 +427,8 @@ def spatial_report_body(rgb_local: jnp.ndarray, down_local: jnp.ndarray,
 
 @functools.lru_cache(maxsize=8)
 def build_spatial_report(mesh: Mesh, height: int, width: int,
-                         cfg: ReportConfig, use_pallas: bool = False):
+                         cfg: ReportConfig, use_pallas: bool = False,
+                         variant: str = ""):
     """Compiled spatially-sharded single-image report over mesh['spatial'].
 
     Returns fn(rgb (3,H,W), boxes, valid) -> ReportData (replicated).
@@ -476,8 +477,9 @@ def build_spatial_report(mesh: Mesh, height: int, width: int,
 
 
 @functools.lru_cache(maxsize=8)
-def build_dp_spatial_report(mesh: Mesh, batch: int, height: int, width: int,
-                            cfg: ReportConfig, use_pallas: bool = False):
+def build_dp_spatial_report(mesh: Mesh, batch: int, height: int,
+                            width: int, cfg: ReportConfig,
+                            use_pallas: bool = False, variant: str = ""):
     """Full multi-chip step: batch over ``data`` x rows over ``spatial``.
 
     Returns fn(rgb (B,3,H,W), boxes (B,10,4), valid (B,10)) -> ReportData

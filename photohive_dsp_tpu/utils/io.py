@@ -162,25 +162,44 @@ def prefetch_iter(it: Iterable, depth: int) -> Iterator:
         return
     q: queue.Queue = queue.Queue(maxsize=depth)
     done = object()
+    abandoned = threading.Event()
+
+    def put(item) -> bool:
+        # Bounded put that notices consumer abandonment: without it a
+        # consumer that breaks out of the generator would leave this
+        # thread blocked on a full queue forever, pinning every buffered
+        # item (batches can be device arrays) for the process lifetime.
+        while not abandoned.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
             for item in it:
-                q.put(item)
+                if not put(item):
+                    return
         except BaseException as e:  # noqa: BLE001 — re-raised at consumer
-            q.put((done, e))
+            put((done, e))
             return
-        q.put((done, None))
+        put((done, None))
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if isinstance(item, tuple) and len(item) == 2 and item[0] is done:
-            if item[1] is not None:
-                raise item[1]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if isinstance(item, tuple) and len(item) == 2 \
+                    and item[0] is done:
+                if item[1] is not None:
+                    raise item[1]
+                return
+            yield item
+    finally:
+        abandoned.set()
 
 
 def parallel_map_iter(fn, items: Iterable, workers: int,
@@ -197,6 +216,7 @@ def parallel_map_iter(fn, items: Iterable, workers: int,
     if workers <= 1:
         yield from map(fn, items)
         return
+    depth = max(depth, 1)  # depth<=0 would otherwise drop every item
     import concurrent.futures as cf
 
     with cf.ThreadPoolExecutor(max_workers=workers) as pool:
@@ -231,9 +251,11 @@ def process_corpus(paths: Iterable[str], output_dir: str,
     the output shard itself (exactly-once output: reports written in the
     window between a flush and the watermark advance are detected by
     ``_recover_shard`` and not re-emitted).  ``prefetch`` images are
-    decoded ahead in the background (0 disables) by a pool of
-    ``decode_workers`` threads (PIL and the native .txt parser release
-    the GIL), overlapping the host input pipeline with device compute.
+    decoded ahead in the background by a pool of ``decode_workers``
+    threads (PIL and the native .txt parser release the GIL),
+    overlapping the host input pipeline with device compute;
+    ``prefetch=0`` disables ALL background work (strictly sequential
+    single-thread decode — the debugging / tunnel-pathology mode).
     """
     cfg = cfg or ReportConfig()
     os.makedirs(output_dir, exist_ok=True)
@@ -253,6 +275,9 @@ def process_corpus(paths: Iterable[str], output_dir: str,
         except Exception as e:  # corrupt file: record and continue
             print(f"skipping {p}: {e}")
             return p, None
+
+    if prefetch <= 0:
+        decode_workers = 1
 
     def images() -> Iterator[Tuple[str, np.ndarray]]:
         decoded = parallel_map_iter(load_one, my_paths, decode_workers,

@@ -87,7 +87,15 @@ def test_two_process_corpus(tmp_path):
         [sys.executable, str(worker), str(port), str(pid), str(corpus),
          str(out_dir)], env=env, stdout=subprocess.PIPE,
         stderr=subprocess.PIPE, text=True) for pid in (0, 1)]
-    outs = [p.communicate(timeout=600) for p in procs]
+    try:
+        outs = [p.communicate(timeout=600) for p in procs]
+    finally:
+        # One worker hanging must not leak the other (it would hold the
+        # coordinator port and poison subsequent runs).
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out}\n{err[-3000:]}"
         assert "WORKER_OK" in out

@@ -139,15 +139,20 @@ def main():
     if use_pallas:
         # Palette-kernel A/B: same fused program under each variant (the
         # env switch is read at trace time in palette_sums_by_k_auto).
-        print("palette kernel A/B (full fused program):")
-        for variant in ("candidate", "cwide"):
-            if variant == "cwide":
-                os.environ["PHOTOHIVE_PALETTE_KERNEL"] = "cwide"
-            else:
+        from photohive_dsp_tpu.ops.quantize import palette_kernel_variant
+        print(f"palette kernel A/B (full fused program; baseline above "
+              f"used '{palette_kernel_variant()}'):")
+        orig = os.environ.get("PHOTOHIVE_PALETTE_KERNEL")
+        try:
+            for variant in ("candidate", "cwide"):
+                os.environ["PHOTOHIVE_PALETTE_KERNEL"] = variant
+                t = measure(())
+                print(f"  {variant:<10} {t*1000:7.1f} ms  ({mp/t:.1f} MP/s)")
+        finally:
+            if orig is None:
                 os.environ.pop("PHOTOHIVE_PALETTE_KERNEL", None)
-            t = measure(())
-            print(f"  {variant:<10} {t*1000:7.1f} ms  ({mp/t:.1f} MP/s)")
-        os.environ.pop("PHOTOHIVE_PALETTE_KERNEL", None)
+            else:
+                os.environ["PHOTOHIVE_PALETTE_KERNEL"] = orig
 
 
 if __name__ == "__main__":

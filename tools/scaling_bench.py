@@ -252,10 +252,79 @@ def run_hosts(n: int = 1200) -> dict:
     return r
 
 
+def run_hosts_e2e(n: int) -> dict:
+    """Config #5 at reduced scale: TWO OS processes (distinct JAX
+    runtimes joined via the distributed coordinator) stream disjoint
+    halves of one corpus through process_corpus concurrently."""
+    import socket
+    import tempfile
+    import textwrap
+
+    workdir = tempfile.mkdtemp(prefix="ph_hosts_")
+    corpus_dir = os.path.join(workdir, "corpus")
+    make_corpus(corpus_dir, n)
+    out_dir = os.path.join(workdir, "out")
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    worker = textwrap.dedent(f"""
+        import glob, sys, time
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
+        sys.path.insert(0, {REPO!r})
+        pid = int(sys.argv[1])
+        from photohive_dsp_tpu.parallel.mesh import initialize_distributed
+        initialize_distributed('localhost:{port}', 2, pid)
+        from photohive_dsp_tpu import ReportConfig
+        from photohive_dsp_tpu.utils.io import process_corpus
+        paths = sorted(glob.glob({corpus_dir!r} + '/*.png'))
+        t0 = time.perf_counter()
+        done = process_corpus(paths, {out_dir!r}, cfg=ReportConfig(),
+                              batch_size=32, num_hosts=2, host_id=pid)
+        print('HOST_DONE', pid, done, round(time.perf_counter() - t0, 1),
+              flush=True)
+    """)
+    wpath = os.path.join(workdir, "worker.py")
+    with open(wpath, "w") as f:
+        f.write(worker)
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)
+    t0 = time.perf_counter()
+    procs = [subprocess.Popen([sys.executable, wpath, str(pid)], env=env,
+                              stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                              text=True) for pid in (0, 1)]
+    try:
+        outs = [p.communicate(timeout=3600) for p in procs]
+    finally:
+        for p in procs:  # don't leak the sibling if one hangs
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+    wall = time.perf_counter() - t0
+    for p, (out, err) in zip(procs, outs):
+        if p.returncode != 0:
+            raise RuntimeError(f"host worker failed:\n{err[-2000:]}")
+    import json as _json
+    keys = []
+    for pid in (0, 1):
+        with open(os.path.join(out_dir, f"reports.{pid}.jsonl")) as f:
+            keys.append({_json.loads(l)["key"] for l in f})
+    assert not keys[0] & keys[1] and len(keys[0] | keys[1]) == n
+    r = dict(n_images=n, wall_s=round(wall, 1),
+             img_per_s=round(n / wall, 2),
+             per_host=[len(k) for k in keys], workdir=workdir)
+    print(f"  2-process e2e: {n} images in {wall:.0f}s "
+          f"({r['img_per_s']} img/s aggregate), shards {r['per_host']}, "
+          f"disjoint+complete")
+    return r
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("mode", choices=["curve", "hlo", "corpus", "hosts",
-                                     "all"])
+                                     "hosts2e2e", "all"])
     ap.add_argument("--n", type=int, default=2000,
                     help="corpus size for `corpus` mode")
     args = ap.parse_args()
@@ -270,6 +339,9 @@ def main() -> None:
     if args.mode in ("hosts", "all"):
         print("== 2-host partition / straggler ==")
         results["hosts"] = run_hosts()
+    if args.mode in ("hosts2e2e",):
+        print(f"== config #5 reduced-scale 2-process run ({args.n}) ==")
+        results["hosts2e2e"] = run_hosts_e2e(args.n)
     if args.mode in ("corpus", "all"):
         print(f"== config #4 reduced-scale corpus ({args.n} images) ==")
         results["corpus"] = run_corpus(args.n)
