@@ -221,12 +221,48 @@ class BatchRunner:
                                                   _want_pallas(),
                                                   _kernel_variant())
             else:
-                fn, tables = _compiled_batch_fn(h, w, self.cfg)
+                fn, tables = _compiled_batch_fn(h, w, self.cfg,
+                                                _kernel_variant())
             out = fn(jnp.asarray(images), jnp.asarray(boxes),
                      jnp.asarray(boxes_valid), tables)
         if pad:
             out = jax.tree.map(lambda x: x[:b], out)
         return out
+
+
+def warmup(shapes: Sequence[Tuple[int, int]], cfg: ReportConfig,
+           mesh=None, batch_size: int = 32) -> int:
+    """Pre-compile the uint8 batch executable for each (H, W) shape.
+
+    First compile of a new image shape costs tens of seconds; a serving
+    process calls this at startup (or after a deploy, to repopulate the
+    persistent compilation cache) so the first real batch runs warm.
+    Uses AOT lowering on abstract shapes — nothing executes, no batch
+    memory is allocated.  Returns the number of executables compiled.
+    Spatially-routed shapes compile on first use (they depend on the
+    mesh's spatial axis, not just the shape).
+    """
+    runner = BatchRunner(cfg, mesh=mesh)
+    n = 0
+    for h, w in shapes:
+        if runner.routes_spatially(h, w):
+            continue
+        if mesh is not None:
+            from ..parallel.sharding import data_parallel_report_u8
+            fn, tables = data_parallel_report_u8(
+                h, w, cfg, runner._flat_mesh, _want_pallas(),
+                _kernel_variant())
+            b = batch_size + ((-batch_size) % runner._data_axis)
+        else:
+            fn, tables = _compiled_u8_batch_fn(h, w, cfg, _kernel_variant())
+            b = batch_size
+        args = (jax.ShapeDtypeStruct((b, h, w, 3), jnp.uint8),
+                jax.ShapeDtypeStruct((b, MAX_CROP_BOXES, 4), jnp.int32),
+                jax.ShapeDtypeStruct((b, MAX_CROP_BOXES), jnp.bool_),
+                tables)
+        fn.lower(*args).compile()
+        n += 1
+    return n
 
 
 def image_hw(img: np.ndarray) -> Tuple[int, int]:

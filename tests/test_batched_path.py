@@ -140,3 +140,22 @@ def test_run_corpus_routes_large_images_spatially():
                                    atol=1e-6)
         assert snr_db(np.asarray(ref.blur_bins),
                       np.asarray(ours.blur_bins)) > 55
+
+
+def test_warmup_precompiles_and_matches():
+    """warmup() AOT-compiles each shape; a following run_u8 returns the
+    same reports as an un-warmed runner."""
+    from photohive_dsp_tpu.models.batch import BatchRunner, warmup
+
+    cfg = ph.ReportConfig()
+    n = warmup([(360, 480)], cfg, batch_size=4)
+    assert n == 1
+    rng = np.random.default_rng(11)
+    imgs = rng.integers(0, 256, (4, 360, 480, 3), dtype=np.uint8)
+    out = BatchRunner(cfg).run_u8(imgs)
+    assert np.isfinite(np.asarray(out.rgb_stats)).all()
+
+    from photohive_dsp_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh(data=jax.device_count() // 2, spatial=2)
+    n = warmup([(360, 480), (4000, 4000)], cfg, mesh=mesh, batch_size=4)
+    assert n == 1  # the 16 MP shape routes spatially -> skipped
