@@ -200,7 +200,8 @@ def test_sharded_sharpness_thin_and_edge_boxes():
                                rtol=1e-5)
 
 
-def test_spatial_pallas_shard_logic_interpret():
+@pytest.mark.parametrize("variant", ["candidate", "cwide"])
+def test_spatial_pallas_shard_logic_interpret(variant, monkeypatch):
     """The sharded body's Pallas fast path, validated shard-by-shard.
 
     Running the full body under shard_map(8) in Mosaic interpret mode is
@@ -215,10 +216,13 @@ def test_spatial_pallas_shard_logic_interpret():
     pinned by the XLA-path tests above, and Mosaic-compiled kernels under
     a real shard_map run on-chip in tools/tpu_parity_check.py.
 
-    Checks: the candidate-LUT palette pass psum-merge is bit-exact vs the
-    XLA sharded body, and the one-hot MXU polar binning over per-shard
-    flat_ids tables matches to kernel-split accuracy."""
+    Checks: the per-shard palette pass psum-merge (run under BOTH kernel
+    variants via the env switch) is bit-exact vs the XLA sharded body,
+    and the one-hot MXU polar binning over per-shard flat_ids tables
+    matches to kernel-split accuracy."""
     from jax.experimental.pallas import tpu as pltpu
+
+    monkeypatch.setenv("PHOTOHIVE_PALETTE_KERNEL", variant)
 
     from photohive_dsp_tpu.ops import fft as fftops
     from photohive_dsp_tpu.ops import pallas_kernels as pk
