@@ -1,0 +1,38 @@
+#!/bin/bash
+# One-shot on-chip validation + measurement session.
+#
+# The TPU behind this dev host's tunnel dies for hours at a time; when it
+# comes back the window may be short.  This script runs everything the
+# round needs from a live chip, in priority order, each under its own
+# timeout, appending to tools/on_chip_session.log:
+#   1. tools/tpu_parity_check.py  — validate all pending Mosaic kernels
+#   2. bench.py                   — the driver-contract perf number
+#   3. tools/ablate_stages.py     — stage deltas + palette-kernel A/B
+#
+# Usage: bash tools/on_chip_session.sh
+set -u
+cd "$(dirname "$0")/.."
+LOG=tools/on_chip_session.log
+{
+  echo "=== on-chip session $(date -u +%FT%TZ) ==="
+
+  echo "--- probe ---"
+  timeout 120 python -c "
+import jax; x = jax.numpy.ones((256,256))
+print('probe ok:', (x@x).sum(), jax.default_backend(), jax.devices()[0].device_kind)" \
+    || { echo "PROBE FAILED - chip not reachable"; exit 1; }
+
+  echo "--- 1/3 parity ---"
+  timeout 1200 python tools/tpu_parity_check.py
+  echo "parity rc=$?"
+
+  echo "--- 2/3 bench ---"
+  timeout 900 python bench.py
+  echo "bench rc=$?"
+
+  echo "--- 3/3 ablation + kernel A/B ---"
+  timeout 1200 python tools/ablate_stages.py 1080 1920 16
+  echo "ablate rc=$?"
+
+  echo "=== session done $(date -u +%FT%TZ) ==="
+} 2>&1 | tee -a "$LOG"
