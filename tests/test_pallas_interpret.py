@@ -171,6 +171,33 @@ def test_full_pipeline_interpret(cfg):
                           np.asarray(xp.sharpness))
 
 
+def test_full_pipeline_interpret_nondefault_config():
+    """Kernels under a non-default config: C=12*3*2+2+1=75 (not a sublane
+    multiple), different q_pad geometry, non-default polar bins.  Pins the
+    fixed-shape machinery (block specs use equal-to-array dims, candidate
+    geometry is config-derived) beyond the default 112-cell case."""
+    from photohive_dsp_tpu.models.pipeline import (ReportTables,
+                                                   full_report_batched)
+    cfg2 = ReportConfig(h_partitions=12, s_partitions=3, v_partitions=2,
+                       radius_partitions=10, angle_partitions=24)
+    rng = np.random.default_rng(9)
+    tabs = ReportTables.build(240, 320, cfg2)
+    rgb = jnp.asarray(rng.random((2, 3, 240, 320)), jnp.float32)
+    boxes = jnp.zeros((2, 10, 4), jnp.int32).at[:, 0].set(
+        jnp.asarray([40, 200, 60, 300], jnp.int32))
+    valid = jnp.zeros((2, 10), bool).at[:, 0].set(True)
+    with pltpu.force_tpu_interpret_mode():
+        fp = full_report_batched(rgb, boxes, valid, tabs, cfg2, True)
+    xp = full_report_batched(rgb, boxes, valid, tabs, cfg2, False)
+    assert (np.asarray(fp.palette_ids) == np.asarray(xp.palette_ids)).all()
+    assert np.array_equal(np.asarray(fp.palette_pct),
+                          np.asarray(xp.palette_pct))
+    ref_bins = np.asarray(xp.blur_bins)
+    rel = (np.linalg.norm(np.asarray(fp.blur_bins) - ref_bins)
+           / np.linalg.norm(ref_bins))
+    assert rel < 1e-6
+
+
 def test_margin_sort_interpret(cfg):
     rng = np.random.default_rng(4)
     sal = jnp.asarray(np.round(rng.random((4, cfg.num_cells)) * 30)
