@@ -128,6 +128,22 @@ def main() -> int:
         check("cwide matches wide kernel", bool(np.abs(
             np.asarray(cw) - np.asarray(wide)).max() < 0.5))
 
+    # non-default config: C=75 (not a sublane multiple) exercises the
+    # equal-to-array-dims BlockSpec escape in Mosaic, plus different
+    # q_pad/polar geometry
+    cfg2 = ReportConfig(h_partitions=12, s_partitions=3, v_partitions=2,
+                        radius_partitions=10, angle_partitions=24)
+    tabs2 = ReportTables.build(480, 640, cfg2)
+    rgb2 = jnp.asarray(rng.random((2, 3, 480, 640)), jnp.float32)
+    zb = jnp.zeros((2, 10, 4), jnp.int32)
+    zv = jnp.zeros((2, 10), bool)
+    fp2 = jax.jit(lambda *a: full_report_batched(*a, tabs2, cfg2, True))(
+        rgb2, zb, zv)
+    xp2 = jax.jit(lambda *a: full_report_batched(*a, tabs2, cfg2, False))(
+        rgb2, zb, zv)
+    check("nondefault-config palette ids exact", bool(
+        (np.asarray(fp2.palette_ids) == np.asarray(xp2.palette_ids)).all()))
+
     # full pipeline
     rgb = jnp.asarray(rng.random((b, 3, 480, 640)), jnp.float32)
     boxes = jnp.zeros((b, 10, 4), jnp.int32).at[:, 0].set(
