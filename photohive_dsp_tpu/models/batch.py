@@ -25,19 +25,33 @@ from .pipeline import ReportData, ReportTables, full_report
 
 def _want_pallas() -> bool:
     """TPU fast path unless disabled (PHOTOHIVE_NO_PALLAS=1 is the
-    operational kill switch: the XLA path computes identical reports)."""
+    operational kill switch: the XLA path computes identical reports).
+
+    The Mosaic kernels only lower on TPU backends, so known non-TPU
+    platforms are excluded explicitly (not just cpu: a GPU backend would
+    otherwise crash at compile time instead of taking the XLA path)."""
     if os.environ.get("PHOTOHIVE_NO_PALLAS"):
         return False
-    return jax.default_backend() not in ("cpu",)
+    return jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm",
+                                         "METAL")
 
 
 def _kernel_variant() -> str:
-    """Palette-kernel selection, part of every compiled-program cache key
-    below so flipping PHOTOHIVE_PALETTE_KERNEL mid-process re-traces
-    instead of silently reusing the previous kernel's executable."""
+    """Env-dependent program-selection state, part of every
+    compiled-program cache key below so flipping PHOTOHIVE_PALETTE_KERNEL
+    or PHOTOHIVE_NO_PALLAS mid-process re-traces instead of silently
+    reusing the previous executable."""
     from ..ops.quantize import palette_kernel_variant
 
-    return palette_kernel_variant()
+    return f"{palette_kernel_variant()}|pallas={_want_pallas()}"
+
+
+def _pad_tail(x, pad: int):
+    """Append ``pad`` copies of the last batch row, staying on-device for
+    jax arrays (np.concatenate on a device array would round-trip the
+    whole batch through host memory — expensive over a slow link)."""
+    xp = jnp if isinstance(x, jax.Array) else np
+    return xp.concatenate([x, xp.repeat(x[-1:], pad, axis=0)])
 
 
 @functools.lru_cache(maxsize=32)
@@ -127,20 +141,25 @@ class BatchRunner:
         return bool(self._spatial_axis and self._spatial_axis > 1
                     and height * width >= self.spatial_route_mp * 1e6)
 
+    def _norm_boxes(self, b, boxes, boxes_valid):
+        if boxes is None:
+            return (np.zeros((b, MAX_CROP_BOXES, 4), np.int32),
+                    np.zeros((b, MAX_CROP_BOXES), bool))
+        if boxes_valid is None:
+            raise ValueError("boxes_valid must accompany boxes "
+                             "(use set_bounding_boxes to build both)")
+        return boxes, boxes_valid
+
     def run_u8(self, images_u8, boxes=None, boxes_valid=None) -> ReportData:
         """images_u8: (B, H, W, 3) uint8 (numpy or device array)."""
         b, h, w, _ = images_u8.shape
-        if boxes is None:
-            boxes = np.zeros((b, MAX_CROP_BOXES, 4), np.int32)
-            boxes_valid = np.zeros((b, MAX_CROP_BOXES), bool)
+        boxes, boxes_valid = self._norm_boxes(b, boxes, boxes_valid)
         if self.routes_spatially(h, w):
             pad = (-b) % self._spatial_route_batch
             if pad:
-                images_u8 = np.concatenate(
-                    [images_u8, np.repeat(images_u8[-1:], pad, axis=0)])
-                boxes = np.concatenate([boxes, np.repeat(boxes[-1:], pad, 0)])
-                boxes_valid = np.concatenate(
-                    [boxes_valid, np.repeat(boxes_valid[-1:], pad, 0)])
+                images_u8 = _pad_tail(images_u8, pad)
+                boxes = _pad_tail(boxes, pad)
+                boxes_valid = _pad_tail(boxes_valid, pad)
             fn = _dp_spatial_u8_fn(self.mesh, b + pad, h, w, self.cfg,
                                    _kernel_variant())
             out = fn(jnp.asarray(images_u8), jnp.asarray(boxes),
@@ -150,11 +169,9 @@ class BatchRunner:
             from ..parallel.sharding import data_parallel_report_u8
             pad = (-b) % self._data_axis
             if pad:
-                images_u8 = np.concatenate(
-                    [images_u8, np.repeat(images_u8[-1:], pad, axis=0)])
-                boxes = np.concatenate([boxes, np.repeat(boxes[-1:], pad, 0)])
-                boxes_valid = np.concatenate(
-                    [boxes_valid, np.repeat(boxes_valid[-1:], pad, 0)])
+                images_u8 = _pad_tail(images_u8, pad)
+                boxes = _pad_tail(boxes, pad)
+                boxes_valid = _pad_tail(boxes_valid, pad)
             fn, tables = data_parallel_report_u8(h, w, self.cfg,
                                                  self._flat_mesh,
                                                  _want_pallas(),
@@ -193,18 +210,20 @@ class BatchRunner:
             boxes_valid: Optional[np.ndarray] = None) -> ReportData:
         """images: (B, 3, H, W) float32; returns batched ReportData (B, ...)."""
         b, _, h, w = images.shape
-        if boxes is None:
-            boxes = np.zeros((b, MAX_CROP_BOXES, 4), np.int32)
-            boxes_valid = np.zeros((b, MAX_CROP_BOXES), bool)
-        pad = 0
-        if self._data_axis:
+        boxes, boxes_valid = self._norm_boxes(b, boxes, boxes_valid)
+        # The spatial route only shards the batch over the 2-D mesh's data
+        # axis (rows take the spatial axis), so it needs less padding than
+        # the flat all-devices data axis the replicated route uses.
+        if self.routes_spatially(h, w):
+            pad = (-b) % self._spatial_route_batch
+        elif self._data_axis:
             pad = (-b) % self._data_axis
+        else:
+            pad = 0
         if pad:
-            images = np.concatenate(
-                [images, np.repeat(images[-1:], pad, axis=0)])
-            boxes = np.concatenate([boxes, np.repeat(boxes[-1:], pad, 0)])
-            boxes_valid = np.concatenate(
-                [boxes_valid, np.repeat(boxes_valid[-1:], pad, 0)])
+            images = _pad_tail(images, pad)
+            boxes = _pad_tail(boxes, pad)
+            boxes_valid = _pad_tail(boxes_valid, pad)
 
         if self.routes_spatially(h, w):
             from ..parallel.spatial import build_dp_spatial_report
@@ -266,10 +285,29 @@ def warmup(shapes: Sequence[Tuple[int, int]], cfg: ReportConfig,
 
 
 def image_hw(img: np.ndarray) -> Tuple[int, int]:
-    """Spatial shape of either a (3, H, W) float or (H, W, 3) uint8 image."""
-    if img.ndim == 3 and img.shape[-1] == 3 and img.dtype == np.uint8:
+    """Spatial shape of either a (3, H, W) float or (H, W, 3) uint8 image.
+
+    The layout contract is enforced (a float (H, W, 3) image would
+    otherwise flow through with transposed dims and produce a silently
+    garbage report)."""
+    if img.ndim != 3:
+        raise ValueError(f"expected a 3-D image array, got {img.shape}")
+    if img.dtype == np.uint8:
+        if img.shape[-1] != 3:
+            raise ValueError(f"uint8 images must be (H, W, 3), "
+                             f"got {img.shape}")
         return img.shape[0], img.shape[1]
+    if img.shape[0] != 3:
+        raise ValueError(f"float images must be planar (3, H, W), "
+                         f"got {img.shape} {img.dtype}")
     return img.shape[1], img.shape[2]
+
+
+def _bucket_key(img: np.ndarray) -> Tuple[int, int, bool]:
+    """Bucket images by (H, W, is_uint8): the two layouts stack into
+    different array shapes, so they must never share a np.stack bucket."""
+    h, w = image_hw(img)
+    return h, w, img.dtype == np.uint8
 
 
 def bucket_by_shape(items: Iterable[Tuple[object, np.ndarray]])\
@@ -318,9 +356,9 @@ def run_corpus(images: Iterable[Tuple[object, np.ndarray]],
             yield key, jax.tree.map(lambda x, j=j: x[j], out_np)
 
     for key, img in images:
-        shape = image_hw(img)
-        buckets[shape].append((key, img))
-        if len(buckets[shape]) >= batch_size:
-            yield from flush(buckets.pop(shape))
+        bkey = _bucket_key(img)
+        buckets[bkey].append((key, img))
+        if len(buckets[bkey]) >= batch_size:
+            yield from flush(buckets.pop(bkey))
     for group in buckets.values():
         yield from flush(group)

@@ -72,8 +72,6 @@ def full_report(rgb: jnp.ndarray, boxes: jnp.ndarray,
     boxes:       (MAX_CROP_BOXES, 4) int32 [top, bottom, left, right).
     boxes_valid: (MAX_CROP_BOXES,) bool.
     """
-    _, h_dim, w_dim = rgb.shape
-
     down = downsample_rgb(rgb, cfg.downsample_rate)
     h, s, v = rgb_to_hsv(down[0], down[1], down[2])
     pgm = rgb_to_pgm(rgb[0], rgb[1], rgb[2])

@@ -23,9 +23,14 @@ def magnitude_fft(pgm: jnp.ndarray) -> jnp.ndarray:
     return jnp.square(jnp.real(spec)) + jnp.square(jnp.imag(spec))
 
 
-def normalize_fft(mag_sq: jnp.ndarray) -> jnp.ndarray:
-    """Log compression with the reference's G_s gain (src/fft_processing.c:192-199)."""
-    mx = jnp.max(mag_sq)
+def normalize_fft(mag_sq: jnp.ndarray, mx=None) -> jnp.ndarray:
+    """Log compression with the reference's G_s gain (src/fft_processing.c:192-199).
+
+    ``mx`` overrides the spectrum max for sharded callers that already
+    hold the global max from a pmax (parallel/spatial._sharded_blur_bins)
+    — keeping the G_s formula and the <1 gating in exactly one place."""
+    if mx is None:
+        mx = jnp.max(mag_sq)
     g_s = 1.0 / (2.0 * jnp.log(jnp.sqrt(mx) + 1.0))
     safe = jnp.where(mag_sq < 1.0, 1.0, mag_sq)
     return jnp.where(mag_sq < 1.0, 0.0, jnp.log(safe) * g_s)

@@ -18,14 +18,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import ReportConfig
-from ..models.pipeline import ReportData, ReportTables, full_report
+from ..models.pipeline import ReportTables
 from .mesh import DATA_AXIS, SPATIAL_AXIS
-
-
-def batched_report_fn(cfg: ReportConfig):
-    """vmapped full_report: (B,3,H,W), (B,10,4), (B,10) -> batched ReportData."""
-    fn = functools.partial(full_report, cfg=cfg)
-    return jax.vmap(fn, in_axes=(0, 0, 0, None))
 
 
 def _dp_shard_map(mesh: Mesh, body):

@@ -31,6 +31,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import ReportConfig
 from ..models.pipeline import ReportData
+from ..ops import fft as fftops
 from ..ops import quantize
 from ..ops.blur import vectorize_blur_profile
 from ..ops.colorspace import downsample_rgb, rgb_to_hsv, rgb_to_pgm
@@ -110,7 +111,7 @@ def _halo_rows(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
 
 def _sharded_sharpness(pgm_local: jnp.ndarray, boxes: jnp.ndarray,
                        boxes_valid: jnp.ndarray, row_offset: jnp.ndarray,
-                       axis_name: str) -> jnp.ndarray:
+                       axis_name: str, any_tiny=None) -> jnp.ndarray:
     """Crop sharpness with boxes spanning shards — the fast formulation.
 
     ONE shared halo-exchanged Laplacian pass per shard (not one masked
@@ -123,7 +124,12 @@ def _sharded_sharpness(pgm_local: jnp.ndarray, boxes: jnp.ndarray,
 
     Like the single-chip batched path, boxes smaller than 4 px in either
     dimension switch the whole call (one lax.cond on the replicated boxes,
-    so every shard branches identically) to an exact per-box masked pass:
+    so every shard branches identically) to an exact per-box masked pass.
+    ``any_tiny`` lets a vmapped caller pass the predicate computed over
+    its WHOLE batch (unbatched under vmap): a batched cond predicate
+    would make vmap execute BOTH branches and select — doubling the
+    sharpness cost for every image (same batch-level-cond design as
+    ops/sharpness.variance_sharpness_batched).  Tiny crops:
     on tiny crops the fast path's E[x^2] - mean^2 assembly cancels ~1e3
     of its own magnitude and leaves ~1e-6 absolute noise, while the
     masked two-pass sum((resp - mean)^2) is exact.
@@ -259,8 +265,11 @@ def _sharded_sharpness(pgm_local: jnp.ndarray, boxes: jnp.ndarray,
                     axis=(1, 2)), axis_name)
         return s2m / n
 
-    tiny = boxes_valid & (((b - t) < _TINY_BOX_PX) | ((r - l) < _TINY_BOX_PX))
-    var = jax.lax.cond(jnp.any(tiny), masked_var, fast_var, None)
+    if any_tiny is None:
+        tiny = boxes_valid & (((b - t) < _TINY_BOX_PX)
+                              | ((r - l) < _TINY_BOX_PX))
+        any_tiny = jnp.any(tiny)
+    var = jax.lax.cond(any_tiny, masked_var, fast_var, None)
     safe_mean = jnp.where(mean == 0, 1.0, mean)
     return jnp.where(boxes_valid, var / safe_mean, 0.0)
 
@@ -289,9 +298,7 @@ def _sharded_blur_bins(pgm_local: jnp.ndarray, dc: jnp.ndarray,
     col_spec = jnp.fft.fft(cols[:height], axis=0)
     mag = jnp.square(jnp.real(col_spec)) + jnp.square(jnp.imag(col_spec))
     mx = jax.lax.pmax(jnp.max(mag), axis_name)
-    g_s = 1.0 / (2.0 * jnp.log(jnp.sqrt(mx) + 1.0))
-    norm = jnp.where(mag < 1.0, 0.0,
-                     jnp.log(jnp.where(mag < 1.0, 1.0, mag)) * g_s)
+    norm = fftops.normalize_fft(mag, mx=mx)
     num_bins = cfg.angle_partitions * cfg.radius_partitions
     if use_pallas:
         from ..ops import pallas_kernels as pk
@@ -315,7 +322,8 @@ def spatial_report_body(rgb_local: jnp.ndarray, down_local: jnp.ndarray,
                         octree: OctreeTables, counts_global: jnp.ndarray,
                         wc: int, height: int, width: int, cfg: ReportConfig,
                         axis_name: str = SPATIAL_AXIS,
-                        use_pallas: bool = False) -> ReportData:
+                        use_pallas: bool = False,
+                        any_tiny=None) -> ReportData:
     """Per-shard body computing the full report for one row-sharded image.
 
     rgb_local:  (3, H/n, W) full-resolution rows (stats, sharpness, blur).
@@ -408,7 +416,7 @@ def spatial_report_body(rgb_local: jnp.ndarray, down_local: jnp.ndarray,
         palette = quantize.palette_finalize(sums, assign, d_total, octree)
 
     sharp = _sharded_sharpness(pgm, boxes, boxes_valid, row_offset,
-                               axis_name)
+                               axis_name, any_tiny)
 
     dc = (stats[0] + stats[1] + stats[2]) / 3.0
     bins = _sharded_blur_bins(pgm, dc, pad_index_local, flat_ids_local,
@@ -502,11 +510,20 @@ def build_dp_spatial_report(mesh: Mesh, batch: int, height: int,
 
     def body(rgb_loc, down_loc, boxes, valid, pad_loc, ids_loc, octree_t,
              counts):
+        # Batch-level tiny-box predicate, computed OUTSIDE the vmap so the
+        # sharpness lax.cond keeps an unbatched predicate (a batched one
+        # would execute both branches for every image); same batch-level
+        # semantics as ops/sharpness.variance_sharpness_batched.
+        tiny = valid & (
+            ((boxes[..., 1] - boxes[..., 0]) < _TINY_BOX_PX)
+            | ((boxes[..., 3] - boxes[..., 2]) < _TINY_BOX_PX))
+        any_tiny = jnp.any(tiny)
+
         def one(rgb_i, down_i, boxes_i, valid_i):
             return spatial_report_body(rgb_i, down_i, boxes_i, valid_i,
                                        pad_loc[0], ids_loc[0], octree_t,
                                        counts, tabs.wc, height, width, cfg,
-                                       SPATIAL_AXIS, use_pallas)
+                                       SPATIAL_AXIS, use_pallas, any_tiny)
         return jax.vmap(one)(rgb_loc, down_loc, boxes, valid)
 
     shard_fn = jax.shard_map(
