@@ -101,6 +101,10 @@ class ReportConfig:
         return (1.0 - self.black_thresh) / self.v_partitions
 
     def validate(self) -> None:
+        if self.h_partitions <= 0:
+            # Checked before the modulo: h_partitions=0 would raise
+            # ZeroDivisionError and negatives pass `360 % -18 == 0`.
+            raise ValueError("h_partitions must be positive")
         if 360 % self.h_partitions != 0:
             # The reference computes Lh with integer division
             # (src/color_quantization.c:41); a non-divisor h_partitions makes

@@ -189,7 +189,15 @@ def _cell_counts_kernel(cell_ref, out_ref, *, num_cells: int):
 
 
 def cell_counts_batched(cells: jnp.ndarray, num_cells: int) -> jnp.ndarray:
-    """Histogram of cell ids: (B, P) int32 -> (B, C) int32 (Pallas)."""
+    """Histogram of cell ids: (B, P) int32 -> (B, C) int32 (Pallas).
+
+    Counts accumulate in float32 on the MXU, exact only up to 2^24 per
+    cell; beyond that (a >16.7 MP near-flat image reaching the quantizer
+    undecimated) this falls back to the exact int32 XLA compare-reduce.
+    """
+    if cells.shape[1] > (1 << 24):
+        from .quantize import cell_counts
+        return jax.vmap(lambda x: cell_counts(x, num_cells))(cells)
     b = cells.shape[0]
     shaped = _shape_pixels(cells.astype(jnp.int32), num_cells)
     t = shaped.shape[1] // _ROWS

@@ -8,8 +8,10 @@ fixed-shape dense math:
      over C = h*s*v + v + 1 cells.  The reference's gray-cell index contains
      a premature int cast — ``(int)(v - black)`` is always 0 for v<1 — so all
      gray pixels land in the *first* gray cell; reproduced faithfully.
-  2. **Cell histogram**: scatter-free — fused compare-reduce (XLA path) or
-     a VMEM one-hot kernel (ops/pallas_kernels.cell_counts_batched on TPU).
+  2. **Cell histogram**: scatter-free — a fused compare-reduce (used on
+     every path: it measured faster than the Pallas one-hot kernel inside
+     the fused pipeline; pallas_kernels.cell_counts_batched remains as
+     the standalone-kernel alternative).
   3. **Saliency ordering** (find_valid_octree_parents, :174-203 +
      custom_sort src/utilities.c:132-153): the reference insertion-sorts cell
      ids with the comparator ``(int)(saliency_b - saliency_a)`` — a
@@ -102,8 +104,10 @@ def cell_counts(cells: jnp.ndarray, num_cells: int) -> jnp.ndarray:
     """Pixel count per cell, int32, via a fused compare-reduce.
 
     Scatter-free: XLA fuses the (P, C) broadcasted comparison into the
-    reduction.  This is the portable path (CPU tests, sharded bodies); the
-    TPU batch pipeline uses pallas_kernels.cell_counts_batched instead.
+    reduction.  Used on EVERY path (CPU, TPU fused pipeline, sharded
+    bodies) — inside the fused program it measured ~2x faster than the
+    Pallas one-hot histogram kernel, which remains available as
+    pallas_kernels.cell_counts_batched.
     """
     flat = cells.reshape(-1)
     pad = (-flat.size) % 128

@@ -48,8 +48,10 @@ def _one_box_sharpness(pgm: jnp.ndarray, box: jnp.ndarray,
     wmap = _ring_weight_map(ys, xs, box) * insf
     mean = jnp.sum(pgm * wmap) / n
     var = jnp.sum(jnp.square(resp - mean) * insf) / n
-    safe_mean = jnp.where(mean == 0, 1.0, mean)
-    return jnp.where(valid, var / safe_mean, 0.0)
+    # var/mean unguarded, like the reference's double division
+    # (src/filtering.c:174) and the f64 golden: an exactly-zero response
+    # mean yields IEEE +/-inf (or NaN for a fully flat crop).
+    return jnp.where(valid, var / mean, 0.0)
 
 
 def _ring_weight_map(ys: jnp.ndarray, xs: jnp.ndarray,
@@ -89,7 +91,10 @@ def variance_sharpness(pgm: jnp.ndarray, boxes: jnp.ndarray,
 
 def _box_ring_terms(pgm_pad: jnp.ndarray, resp: jnp.ndarray,
                     box: jnp.ndarray):
-    """Ring corrections for one box: (sum_corr, sum_2rc_plus_c2).
+    """Ring correction for one box: sum over the ring of 2*r*c + c^2 (the
+    difference between the crop's sum(resp^2) and the shared response's).
+    The response *mean* needs no correction term from here — it comes from
+    the exact telescoped border-ring identity in the caller.
 
     The global Laplacian response differs from the crop-then-filter response
     only on the box's 1-px border ring, where the crop's zero padding
@@ -116,7 +121,6 @@ def _box_ring_terms(pgm_pad: jnp.ndarray, resp: jnp.ndarray,
     resp_b = jax.lax.dynamic_slice(resp, (jnp.maximum(b - 1, 0), 0),
                                    (1, w))[0]
     xin = (xs >= l) & (xs < r)
-    sum_cv = jnp.sum(jnp.where(xin, cv_t + cv_b, 0.0))
     sum_v = jnp.sum(jnp.where(
         xin, 2.0 * (resp_t * cv_t + resp_b * cv_b) + cv_t * cv_t
         + cv_b * cv_b, 0.0))
@@ -140,7 +144,6 @@ def _box_ring_terms(pgm_pad: jnp.ndarray, resp: jnp.ndarray,
     resp_r = jax.lax.dynamic_slice(
         pad_t, (1, jnp.maximum(r, 1)), (h, 1))[:, 0]
     yin = (ys >= t) & (ys < b)
-    sum_ch = jnp.sum(jnp.where(yin, ch_l + ch_r, 0.0))
     sum_h = jnp.sum(jnp.where(
         yin, 2.0 * (resp_l * ch_l + resp_r * ch_r) + ch_l * ch_l
         + ch_r * ch_r, 0.0))
@@ -152,7 +155,7 @@ def _box_ring_terms(pgm_pad: jnp.ndarray, resp: jnp.ndarray,
     cross = 2.0 * (at(cv_t, l) * at(ch_l, t) + at(cv_t, r - 1) * at(ch_r, t)
                    + at(cv_b, l) * at(ch_l, b - 1)
                    + at(cv_b, r - 1) * at(ch_r, b - 1))
-    return sum_cv + sum_ch, sum_v + sum_h + cross
+    return sum_v + sum_h + cross
 
 
 def variance_sharpness_batched(pgm: jnp.ndarray, boxes: jnp.ndarray,
@@ -194,7 +197,7 @@ def variance_sharpness_batched(pgm: jnp.ndarray, boxes: jnp.ndarray,
         ring = jax.vmap(lambda pp, rr, bx: jax.vmap(
             lambda one: _box_ring_terms(pp, rr, one))(bx))(pgm_pad, resp,
                                                            boxes)
-        s2 = s2 + ring[1]
+        s2 = s2 + ring
 
         # Exact response sum via the telescoped border-ring identity
         # (_ring_weight_map): sum(resp_crop) = sum(pgm * (9 - rows_in *
@@ -213,8 +216,9 @@ def variance_sharpness_batched(pgm: jnp.ndarray, boxes: jnp.ndarray,
         n = jnp.maximum((b - t) * (r - l), 1).astype(pgm.dtype)
         mean = s1 / n
         var = s2 / n - mean * mean
-        safe_mean = jnp.where(mean == 0, 1.0, mean)
-        return jnp.where(boxes_valid, var / safe_mean, 0.0)
+        # Unguarded division like the reference (src/filtering.c:174):
+        # a zero response mean yields IEEE inf/NaN, not a masked value.
+        return jnp.where(boxes_valid, var / mean, 0.0)
 
     def masked(_):
         return jax.vmap(variance_sharpness)(pgm, boxes, boxes_valid)

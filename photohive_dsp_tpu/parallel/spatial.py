@@ -270,8 +270,9 @@ def _sharded_sharpness(pgm_local: jnp.ndarray, boxes: jnp.ndarray,
                               | ((r - l) < _TINY_BOX_PX))
         any_tiny = jnp.any(tiny)
     var = jax.lax.cond(any_tiny, masked_var, fast_var, None)
-    safe_mean = jnp.where(mean == 0, 1.0, mean)
-    return jnp.where(boxes_valid, var / safe_mean, 0.0)
+    # Unguarded like the reference (src/filtering.c:174): zero response
+    # mean -> IEEE inf/NaN, identically to the single-chip paths.
+    return jnp.where(boxes_valid, var / mean, 0.0)
 
 
 def _sharded_blur_bins(pgm_local: jnp.ndarray, dc: jnp.ndarray,

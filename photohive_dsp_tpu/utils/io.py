@@ -263,18 +263,32 @@ def process_corpus(paths: Iterable[str], output_dir: str,
     out_path = os.path.join(output_dir, f"reports.{host_id}.jsonl")
     emitted = _recover_shard(out_path)
 
+    # Durable record of undecodable inputs: resumed runs neither re-decode
+    # known-corrupt files nor silently under-cover the corpus (the skip
+    # log is the machine-readable account of every key without a report).
+    skip_path = os.path.join(output_dir, f"skipped.{host_id}.jsonl")
+    skipped = set()
+    if os.path.exists(skip_path):
+        with open(skip_path) as f:
+            for line in f:
+                try:
+                    skipped.add(json.loads(line)["key"])
+                except (ValueError, KeyError):
+                    continue
+
     my_paths = [p for i, p in enumerate(sorted(paths))
                 if i % num_hosts == host_id
-                and p not in wm and str(p) not in emitted]
+                and p not in wm and str(p) not in emitted
+                and str(p) not in skipped]
 
     shapes = {}
+    skip_log = open(skip_path, "a")
 
     def load_one(p):
         try:
-            return p, load_image_u8(p)
-        except Exception as e:  # corrupt file: record and continue
-            print(f"skipping {p}: {e}")
-            return p, None
+            return p, load_image_u8(p), None
+        except Exception as e:  # corrupt file: record durably and continue
+            return p, None, f"{type(e).__name__}: {e}"
 
     if prefetch <= 0:
         decode_workers = 1
@@ -282,31 +296,39 @@ def process_corpus(paths: Iterable[str], output_dir: str,
     def images() -> Iterator[Tuple[str, np.ndarray]]:
         decoded = parallel_map_iter(load_one, my_paths, decode_workers,
                                     max(prefetch, 2 * decode_workers))
-        for p, img in decoded:
+        for p, img, err in decoded:
             if img is None:
+                print(f"skipping {p}: {err}")
+                skip_log.write(json.dumps({"key": str(p),
+                                           "error": err}) + "\n")
+                skip_log.flush()
                 continue
             shapes[p] = (img.shape[0], img.shape[1])
             yield p, img
 
     processed = 0
     pending = []
-    with open(out_path, "a") as out:
-        for key, data in run_corpus(prefetch_iter(images(), prefetch),
-                                    cfg, mesh=mesh, batch_size=batch_size):
-            rep_h, rep_w = shapes[key]
-            rep = Report(data, rep_h, rep_w, num_boxes=0, config=cfg)
-            out.write(json.dumps({"key": str(key),
-                                  "report": json.loads(rep.to_json())}))
-            out.write("\n")
-            pending.append(key)
-            processed += 1
-            if len(pending) >= flush_every:
-                out.flush()
-                os.fsync(out.fileno())
+    try:
+        with open(out_path, "a") as out:
+            for key, data in run_corpus(prefetch_iter(images(), prefetch),
+                                        cfg, mesh=mesh,
+                                        batch_size=batch_size):
+                rep_h, rep_w = shapes[key]
+                rep = Report(data, rep_h, rep_w, num_boxes=0, config=cfg)
+                out.write(json.dumps({"key": str(key),
+                                      "report": json.loads(rep.to_json())}))
+                out.write("\n")
+                pending.append(key)
+                processed += 1
+                if len(pending) >= flush_every:
+                    out.flush()
+                    os.fsync(out.fileno())
+                    wm.mark(pending)
+                    pending = []
+            out.flush()
+            os.fsync(out.fileno())
+            if pending:
                 wm.mark(pending)
-                pending = []
-        out.flush()
-        os.fsync(out.fileno())
-        if pending:
-            wm.mark(pending)
+    finally:
+        skip_log.close()
     return processed

@@ -26,16 +26,25 @@ from typing import Dict, Optional
 import numpy as np
 
 
+def _sync(out):
+    """Synchronize via a host copy of one leaf: block_until_ready on a
+    NamedTuple output was observed returning early in timing loops on
+    this environment (CLAUDE.md), silently under-reporting times."""
+    import jax
+
+    leaves = jax.tree.leaves(out)
+    np.asarray(leaves[0] if leaves else out)
+    return out
+
+
 def _time(fn, *args, iters=5):
     import jax
 
     f = jax.jit(fn)
-    out = f(*args)
-    jax.block_until_ready(out)
+    out = _sync(f(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = f(*args)
-        jax.block_until_ready(out)
+        out = _sync(f(*args))
     return (time.perf_counter() - t0) / iters, out
 
 

@@ -66,7 +66,9 @@ def blur_profile_visual(bins: np.ndarray, height: int, width: int)\
     """
     a, r = bins.shape
     fft_w = width // 2 + 1
-    max_radius = math.sqrt(fft_w * fft_w + height * height / 4)
+    # height*height/4 is C INT division (blur_profile.c:57: all-int
+    # expression under the sqrt), so truncate before the float sqrt.
+    max_radius = math.sqrt(fft_w * fft_w + height * height // 4)
     radius_bin_size = int(max_radius / r)        # int field, truncated
     ys = np.arange(height)[:, None].astype(np.float64)
     xs = np.arange(width)[None, :].astype(np.float64)

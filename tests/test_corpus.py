@@ -133,6 +133,16 @@ def test_corrupt_input_skipped(corpus, tmp_path):
     assert n == 2
     keys = {ln["key"] for ln in _shard_lines(out_dir)}
     assert keys == {corpus[0], corpus[1]}
+    # the skip is recorded durably, with the error...
+    with open(os.path.join(out_dir, "skipped.0.jsonl")) as f:
+        skipped = [json.loads(line) for line in f]
+    assert [s["key"] for s in skipped] == [bad] and skipped[0]["error"]
+    # ...and a resumed run does not re-decode (or re-log) the corrupt file
+    n2 = phio.process_corpus([corpus[0], bad, corpus[1]], out_dir, CFG,
+                             batch_size=2)
+    assert n2 == 0
+    with open(os.path.join(out_dir, "skipped.0.jsonl")) as f:
+        assert len(f.readlines()) == 1
 
 
 def test_prefetch_iter_order_and_exceptions():

@@ -111,3 +111,50 @@ def test_variance_sharpness(img):
     np.testing.assert_allclose(fast[:3], ref, rtol=1e-5)
     np.testing.assert_allclose(fast[:3], ours[:3], rtol=1e-5)
     assert np.all(fast[3:] == 0.0)
+
+
+def test_variance_sharpness_zero_mean_unguarded():
+    """var/mean is unguarded, like the reference's double division
+    (src/filtering.c:174) and the f64 golden.
+
+    A fully flat crop: response mean and variance are exactly 0 in every
+    formulation -> 0/0 = NaN on both sides (the reference propagates it;
+    Report only scrubs blur *bins*, core.py:100-117).
+
+    A crop whose 1-px border ring is zero but whose interior is not is
+    ill-conditioned: the true response mean is 0, so the quotient blows
+    up on both sides — the golden's direct f64 summation leaves ~1e-16
+    cancellation residue (quotient ~1e16 finite) while our telescoped
+    border-ring sum is exactly 0 (quotient +inf).  Both are 'huge'; the
+    discrete difference is inherent to the formulation and covered by
+    the TINY/ill-conditioned notes in ops/sharpness.py."""
+    rng = np.random.default_rng(3)
+    t, b, l, r = 20, 30, 20, 30
+    boxes = np.zeros((10, 4), np.int32)
+    boxes[0] = (t, b, l, r)
+    valid = np.zeros((10,), bool)
+    valid[0] = True
+
+    flat = np.zeros((64, 64), np.float64)
+    with np.errstate(invalid="ignore"):
+        ref = gold.variance_sharpness(flat, [(t, b, l, r)])
+    assert np.isnan(ref[0])
+    ours = np.asarray(sharpness.variance_sharpness(
+        jnp.asarray(flat, jnp.float32), jnp.asarray(boxes),
+        jnp.asarray(valid)))
+    fast = np.asarray(sharpness.variance_sharpness_batched(
+        jnp.asarray(flat, jnp.float32)[None], jnp.asarray(boxes)[None],
+        jnp.asarray(valid)[None]))[0]
+    assert np.isnan(ours[0]) and np.isnan(fast[0])
+    assert np.all(ours[1:] == 0.0) and np.all(fast[1:] == 0.0)
+
+    ring0 = np.zeros((64, 64), np.float64)
+    ring0[t + 1:b - 1, l + 1:r - 1] = \
+        rng.random((b - t - 2, r - l - 2)) + 0.1
+    with np.errstate(divide="ignore"):
+        ref = gold.variance_sharpness(ring0, [(t, b, l, r)])
+    ours = np.asarray(sharpness.variance_sharpness(
+        jnp.asarray(ring0, jnp.float32), jnp.asarray(boxes),
+        jnp.asarray(valid)))
+    assert abs(ref[0]) > 1e12                 # golden: astronomically large
+    assert np.isinf(ours[0]) or abs(ours[0]) > 1e12
