@@ -53,7 +53,15 @@ BUDGET_S = float(os.environ.get("PHOTOHIVE_BENCH_BUDGET_S", "840"))
 PROBE_TIMEOUT_S = float(os.environ.get("PHOTOHIVE_BENCH_PROBE_S", "300"))
 
 HEIGHT, WIDTH = 1080, 1920
-BATCH = int(os.environ.get("PHOTOHIVE_BENCH_BATCH", "32"))
+
+
+def _batch_for(platform: str) -> int:
+    """32 x 1080p on the chip; 4 on CPU (a 32-batch CPU run would blow
+    any reasonable budget at ~36 s per iteration)."""
+    env = os.environ.get("PHOTOHIVE_BENCH_BATCH")
+    if env:
+        return int(env)
+    return 4 if platform == "cpu" else 32
 
 
 def emit(payload: dict) -> None:
@@ -128,19 +136,20 @@ def measure(deadline: float) -> dict:
 
     cfg = ReportConfig()
     platform = jax.devices()[0].platform
+    batch = _batch_for(platform)
     use_pallas = platform not in ("cpu",) and \
         not os.environ.get("PHOTOHIVE_NO_PALLAS")
 
     rng = np.random.default_rng(0)
     frames = [
-        jax.device_put(rng.integers(0, 256, (BATCH, HEIGHT, WIDTH, 3),
+        jax.device_put(rng.integers(0, 256, (batch, HEIGHT, WIDTH, 3),
                                     dtype=np.uint8))
         for _ in range(2)
     ]
-    boxes = np.zeros((BATCH, 10, 4), np.int32)
+    boxes = np.zeros((batch, 10, 4), np.int32)
     boxes[:, 0] = (100, 500, 200, 900)
     boxes[:, 1] = (400, 900, 600, 1500)
-    valid = np.zeros((BATCH, 10), bool)
+    valid = np.zeros((batch, 10), bool)
     valid[:, :2] = True
     dboxes, dvalid = jax.device_put(boxes), jax.device_put(valid)
 
@@ -181,7 +190,7 @@ def measure(deadline: float) -> dict:
     np.asarray(out.blur_bins)
     dt = time.perf_counter() - t0
 
-    mps = BATCH * HEIGHT * WIDTH / 1e6 * iters / dt
+    mps = batch * HEIGHT * WIDTH / 1e6 * iters / dt
     result = {
         "metric": "full_report_throughput_1080p",
         "value": round(mps, 3),
@@ -189,7 +198,7 @@ def measure(deadline: float) -> dict:
         "vs_baseline": round(mps / REFERENCE_MPS, 2),
         "platform": platform,
         "pallas": use_pallas,
-        "batch": BATCH,
+        "batch": batch,
         "iters": iters,
     }
 
