@@ -227,7 +227,10 @@ def child_main() -> None:
         print(f"measurement failed: {type(exc).__name__}: {exc}",
               file=sys.stderr)
         sys.exit(3)
-    if not os.environ.get("PHOTOHIVE_BENCH_NO_CACHE"):
+    # Only chip results become the degraded-path fallback number: a CPU
+    # measurement cached here would later masquerade as "last good".
+    if not os.environ.get("PHOTOHIVE_BENCH_NO_CACHE") \
+            and result.get("platform") != "cpu":
         try:
             with open(LAST_GOOD, "w") as f:
                 json.dump(result, f)
