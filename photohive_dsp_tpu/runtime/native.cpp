@@ -110,6 +110,10 @@ int phn_write_txt_u8(const char* path, const uint8_t* rgb, int w, int h) {
     // 12 bytes per pixel worst case ("255 255 255\n")
     size_t cap = 1 << 20;
     char* buf = static_cast<char*>(malloc(cap));
+    if (!buf) {
+        fclose(f);
+        return 4;
+    }
     size_t len = static_cast<size_t>(
         snprintf(buf, cap, "%d %d\n", w, h));
     const long n = static_cast<long>(w) * h;
@@ -132,12 +136,17 @@ int phn_write_txt_u8(const char* path, const uint8_t* rgb, int w, int h) {
 void phn_planarize_u8_to_f32(const uint8_t* hwc, float* chw, long h,
                              long w) {
     const long n = h * w;
-    static float lut[256];
-    static bool init = false;
-    if (!init) {
-        for (int i = 0; i < 256; ++i) lut[i] = static_cast<float>(i) / 255.0f;
-        init = true;
-    }
+    // C++11 static-local init is thread-safe (the decode pool calls this
+    // from several threads); the previous open-coded flag was a benign
+    // but real data race.
+    static const struct Lut {
+        float v[256];
+        Lut() {
+            for (int i = 0; i < 256; ++i)
+                v[i] = static_cast<float>(i) / 255.0f;
+        }
+    } lut_s;
+    const float* lut = lut_s.v;
     float* r = chw;
     float* g = chw + n;
     float* b = chw + 2 * n;
