@@ -364,8 +364,8 @@ def palette_kernel_variant() -> str:
 def palette_sums_by_k_auto(hf: jnp.ndarray, sf: jnp.ndarray,
                            vf: jnp.ndarray,
                            assign: ParentAssignment, counts: jnp.ndarray,
-                           cfg: ReportConfig, tables: OctreeTables)\
-        -> jnp.ndarray:
+                           cfg: ReportConfig, tables: OctreeTables,
+                           force_wide: bool = False) -> jnp.ndarray:
     """Pallas palette pixel pass with automatic kernel-width selection.
 
     (B, P) flat pixels -> (B, C, 4) sums per valid-order slot.  q_pad is
@@ -399,7 +399,10 @@ def palette_sums_by_k_auto(hf: jnp.ndarray, sf: jnp.ndarray,
             return pk.palette_sums_by_k(hf, sf, vf, luts, c, q_pad, cfg)
         return body
 
-    if q_full == q_small:
+    if q_full == q_small or force_wide:
+        # force_wide: a vmapped caller (the dp-spatial body) would batch
+        # the cond predicate, making vmap execute BOTH kernels and select
+        # — strictly worse than always running the full-width kernel.
         return run(q_full)(None)
     # Candidate count only matters for cells that hold pixels.
     ncand = jnp.sum(assign.allowed, axis=-1)           # (B, C)

@@ -324,7 +324,8 @@ def spatial_report_body(rgb_local: jnp.ndarray, down_local: jnp.ndarray,
                         wc: int, height: int, width: int, cfg: ReportConfig,
                         axis_name: str = SPATIAL_AXIS,
                         use_pallas: bool = False,
-                        any_tiny=None) -> ReportData:
+                        any_tiny=None,
+                        palette_force_wide: bool = False) -> ReportData:
     """Per-shard body computing the full report for one row-sharded image.
 
     rgb_local:  (3, H/n, W) full-resolution rows (stats, sharpness, blur).
@@ -404,7 +405,8 @@ def spatial_report_body(rgb_local: jnp.ndarray, down_local: jnp.ndarray,
         sums_k = quantize.palette_sums_by_k_auto(
             h_pal.reshape(1, -1), s.reshape(1, -1), v.reshape(1, -1),
             jax.tree.map(lambda x: x[None], assign),
-            counts[None], cfg, octree)[0]
+            counts[None], cfg, octree,
+            force_wide=palette_force_wide)[0]
         sums_k = jax.lax.psum(sums_k, axis_name)
         palette = quantize.palette_finalize_by_k(sums_k, assign, d_total,
                                                  octree)
@@ -521,10 +523,14 @@ def build_dp_spatial_report(mesh: Mesh, batch: int, height: int,
         any_tiny = jnp.any(tiny)
 
         def one(rgb_i, down_i, boxes_i, valid_i):
+            # palette_force_wide: the q8/q40 cond predicate would be
+            # batched under this vmap (both kernels would run); always
+            # using the full-width kernel is strictly cheaper.
             return spatial_report_body(rgb_i, down_i, boxes_i, valid_i,
                                        pad_loc[0], ids_loc[0], octree_t,
                                        counts, tabs.wc, height, width, cfg,
-                                       SPATIAL_AXIS, use_pallas, any_tiny)
+                                       SPATIAL_AXIS, use_pallas, any_tiny,
+                                       palette_force_wide=True)
         return jax.vmap(one)(rgb_loc, down_loc, boxes, valid)
 
     shard_fn = jax.shard_map(
