@@ -159,3 +159,22 @@ def test_warmup_precompiles_and_matches():
     mesh = make_mesh(data=jax.device_count() // 2, spatial=2)
     n = warmup([(360, 480), (4000, 4000)], cfg, mesh=mesh, batch_size=4)
     assert n == 1  # the 16 MP shape routes spatially -> skipped
+
+
+def test_run_stream_u8_prefetch_matches():
+    """Opt-in device_put prefetch changes timing only, not results."""
+    cfg = ph.ReportConfig()
+    runner = BatchRunner(cfg)
+    rng = np.random.default_rng(12)
+    batches = []
+    for _ in range(3):
+        imgs = rng.integers(0, 256, (2, 360, 480, 3), dtype=np.uint8)
+        boxes = np.zeros((2, 10, 4), np.int32)
+        valid = np.zeros((2, 10), bool)
+        batches.append((imgs, boxes, valid))
+    seq = [jax.device_get(o) for o in runner.run_stream_u8(iter(batches))]
+    pre = [jax.device_get(o) for o in runner.run_stream_u8(iter(batches),
+                                                           prefetch=2)]
+    for a, b in zip(seq, pre):
+        for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
