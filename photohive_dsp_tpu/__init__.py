@@ -146,10 +146,9 @@ def get_report(image, salient_characters=None, *,
     from .models.batch import _compiled_batch_fn
     import jax
 
-    from .ops.quantize import palette_kernel_variant
+    from .models.batch import _kernel_variant
 
-    fn, tables = _compiled_batch_fn(height, width, cfg,
-                                    palette_kernel_variant())
+    fn, tables = _compiled_batch_fn(height, width, cfg, _kernel_variant())
     data = fn(rgb[None], boxes[None], valid[None], tables)
     data = jax.tree.map(lambda x: x[0], data)
     return Report(data, height, width, num_boxes=num_boxes, config=cfg)
