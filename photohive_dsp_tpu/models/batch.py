@@ -336,24 +336,36 @@ def run_corpus(images: Iterable[Tuple[object, np.ndarray]],
     buckets: Dict[Tuple[int, int], list] = collections.defaultdict(list)
 
     def flush(group):
-        arr = np.stack([img for _, img in group])
-        # pad partial batches up to batch_size so each image shape compiles
-        # exactly one executable (a fresh compile costs far more than the
-        # wasted rows)
-        n_real = arr.shape[0]
-        if n_real < batch_size:
-            arr = np.concatenate(
-                [arr, np.repeat(arr[-1:], batch_size - n_real, axis=0)])
-        if arr.dtype == np.uint8:
-            # (B, H, W, 3) uint8: the fast transfer path — uint8 uploads
-            # move at full link speed while f32 uploads are several times
-            # slower on tunneled hosts, and the planarize runs on-device.
-            out = runner.run_u8(arr)
-        else:
-            out = runner.run(arr.astype(np.float32))
-        out_np = jax.device_get(out)  # one transfer call for all leaves
-        for j, (key, _) in enumerate(group):
-            yield key, jax.tree.map(lambda x, j=j: x[j], out_np)
+        h, w = image_hw(group[0][1])
+        # Spatially-routed (>= spatial_route_mp MP) shapes run in small
+        # sub-batches of the mesh's data-axis quantum instead of the full
+        # batch_size: one 32-wide batch of 8+ MP images would hold
+        # gigabytes of per-image pipeline intermediates live at once, and
+        # the row-sharding already supplies the parallelism.
+        quantum = batch_size
+        if runner.routes_spatially(h, w):
+            quantum = runner._spatial_route_batch
+        for c0 in range(0, len(group), quantum):
+            chunk = group[c0:c0 + quantum]
+            arr = np.stack([img for _, img in chunk])
+            # pad partial batches up to the quantum so each image shape
+            # compiles exactly one executable (a fresh compile costs far
+            # more than the wasted rows)
+            n_real = arr.shape[0]
+            if n_real < quantum:
+                arr = np.concatenate(
+                    [arr, np.repeat(arr[-1:], quantum - n_real, axis=0)])
+            if arr.dtype == np.uint8:
+                # (B, H, W, 3) uint8: the fast transfer path — uint8
+                # uploads move at full link speed while f32 uploads are
+                # several times slower on tunneled hosts, and the
+                # planarize runs on-device.
+                out = runner.run_u8(arr)
+            else:
+                out = runner.run(arr.astype(np.float32))
+            out_np = jax.device_get(out)  # one transfer for all leaves
+            for j, (key, _) in enumerate(chunk):
+                yield key, jax.tree.map(lambda x, j=j: x[j], out_np)
 
     for key, img in images:
         bkey = _bucket_key(img)
