@@ -119,6 +119,47 @@ def test_palette_cwide_selected_by_env(cfg, tables, monkeypatch):
     assert np.abs(np.asarray(fast.hsv) - np.asarray(slow.hsv)).max() < 5e-3
 
 
+def test_palette_kernels_drop_hue_sentinel_pixels(cfg, tables):
+    """Pixels marked with hue -1 (decimation-masked rows in the sharded
+    body, chunk padding in the wrappers) contribute to NOTHING: sums and
+    counts must bit-match the same kernel run on only the real pixels."""
+    from photohive_dsp_tpu.ops import pallas_kernels_cwide as pkc
+
+    rng = np.random.default_rng(8)
+    c = cfg.num_cells
+    p_real, p_masked = 4096, 1024
+    h_real = jnp.asarray(rng.random((1, p_real)) * 360, jnp.float32)
+    s_real = jnp.asarray(rng.random((1, p_real)) * 0.999, jnp.float32)
+    v_real = jnp.asarray(rng.random((1, p_real)) * 0.999, jnp.float32)
+    # masked tail: real-looking s/v, sentinel hue
+    h_all = jnp.concatenate(
+        [h_real, jnp.full((1, p_masked), -1.0, jnp.float32)], axis=1)
+    s_all = jnp.concatenate(
+        [s_real, jnp.asarray(rng.random((1, p_masked)), jnp.float32)], 1)
+    v_all = jnp.concatenate(
+        [v_real, jnp.asarray(rng.random((1, p_masked)), jnp.float32)], 1)
+
+    cells = quantize.assign_cells(h_real, s_real, v_real, cfg).reshape(1, -1)
+    counts = jax.vmap(lambda x: quantize.cell_counts(x, c))(cells)
+    assign = jax.vmap(lambda cnt: quantize.parent_assignment(
+        cnt, p_real, cfg, tables))(counts)
+    with pltpu.force_tpu_interpret_mode():
+        luts = jax.vmap(lambda a: pk.palette_candidate_lut(
+            a, tables, c, 40))(assign)
+        sums_all = pk.palette_sums_by_k(h_all, s_all, v_all, luts, c, 40,
+                                        cfg)
+        sums_real = pk.palette_sums_by_k(h_real, s_real, v_real, luts, c,
+                                         40, cfg)
+        opnds = jax.vmap(lambda a: pkc.cwide_tables(a, tables, c))(assign)
+        cw_all = pkc.palette_sums_by_k_cwide(h_all, s_all, v_all, *opnds,
+                                             c, cfg)
+        cw_real = pkc.palette_sums_by_k_cwide(h_real, s_real, v_real,
+                                              *opnds, c, cfg)
+    assert np.array_equal(np.asarray(sums_all), np.asarray(sums_real))
+    assert np.array_equal(np.asarray(cw_all), np.asarray(cw_real))
+    assert np.asarray(sums_all)[..., 3].sum() == p_real  # counts: real only
+
+
 def test_polar_bin_sums_interpret(cfg):
     rng = np.random.default_rng(2)
     geom = polar_geometry(240, 320, cfg.angle_partitions,
