@@ -104,6 +104,19 @@ def test_input_guards():
     assert ph.get_report(wide) is None
 
 
+def test_config_validation_rejects_bad_partitions():
+    import pytest
+
+    for bad in (0, -18, 7):
+        with pytest.raises(ValueError):
+            ph.ReportConfig(h_partitions=bad).validate()
+    for field in ("s_partitions", "v_partitions", "radius_partitions",
+                  "angle_partitions"):
+        with pytest.raises(ValueError):
+            ph.ReportConfig(**{field: 0}).validate()
+    ph.ReportConfig().validate()  # defaults are valid
+
+
 def test_downsample_rate_routing():
     """Palette/saturation run on the downsampled image; stats and blur on the
     full-resolution original (reference src/interface.c:40-55)."""
