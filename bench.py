@@ -110,8 +110,6 @@ def preflight(env: dict) -> bool:
 
 
 def build_fn(cfg, height, width, use_pallas):
-    import functools
-
     import jax
     import jax.numpy as jnp
 
@@ -202,6 +200,12 @@ def measure(deadline: float) -> dict:
         "iters": iters,
     }
 
+    # Persist the completed measurement BEFORE the roofline add-on: its
+    # microbenchmarks compile fresh executables, and a tunnel stall there
+    # would otherwise eat the deadline and lose the fresh number to the
+    # stale degraded cache.
+    _cache_result(result)
+
     # Roofline accounting (cheap; skipped if the deadline is close).
     if deadline - time.perf_counter() > 30.0:
         try:
@@ -217,6 +221,19 @@ def measure(deadline: float) -> dict:
     return result
 
 
+def _cache_result(result: dict) -> None:
+    """Write the degraded-path fallback number.  Only chip results: a CPU
+    measurement cached here would later masquerade as "last good"."""
+    if os.environ.get("PHOTOHIVE_BENCH_NO_CACHE") \
+            or result.get("platform") == "cpu":
+        return
+    try:
+        with open(LAST_GOOD, "w") as f:
+            json.dump(result, f)
+    except OSError:
+        pass
+
+
 def child_main() -> None:
     """Runs in the supervised child: measure + print the JSON line."""
     deadline = time.perf_counter() + \
@@ -227,15 +244,7 @@ def child_main() -> None:
         print(f"measurement failed: {type(exc).__name__}: {exc}",
               file=sys.stderr)
         sys.exit(3)
-    # Only chip results become the degraded-path fallback number: a CPU
-    # measurement cached here would later masquerade as "last good".
-    if not os.environ.get("PHOTOHIVE_BENCH_NO_CACHE") \
-            and result.get("platform") != "cpu":
-        try:
-            with open(LAST_GOOD, "w") as f:
-                json.dump(result, f)
-        except OSError:
-            pass
+    _cache_result(result)  # refresh with roofline fields included
     emit(result)
 
 

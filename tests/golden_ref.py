@@ -393,6 +393,12 @@ class GoldenOctree:
             if len(tied) == 1:
                 parent_pixels[tied[0]].append(members)
             else:
+                # Documented deviation (IMPLEMENTATION_STATUS Known gaps):
+                # the C multi-tie branch never advances cur_groups[parent]
+                # (:436-446), so once a tied parent's tail node fills,
+                # every further pixel orphans its predecessor and only the
+                # LAST overflow pixel reaches calculate_avg_hsv.  We (and
+                # the TPU build) keep every pixel's contribution.
                 for idx in members:
                     best, bestd = None, np.inf
                     for p in tied:

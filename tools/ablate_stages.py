@@ -104,7 +104,8 @@ def main():
         height, width, batch = map(int, sys.argv[1:4])
     cfg = ReportConfig()
     tables = ReportTables.build(height, width, cfg)
-    use_pallas = jax.default_backend() not in ("cpu",)
+    from photohive_dsp_tpu.models.batch import _want_pallas
+    use_pallas = _want_pallas()  # honors PHOTOHIVE_NO_PALLAS + backend
 
     rng = np.random.default_rng(0)
     rgb = jax.device_put(rng.random((batch, 3, height, width),
@@ -125,7 +126,9 @@ def main():
             t0 = time.perf_counter()
             out = fn(rgb, dboxes, dvalid)
             np.asarray(out.rgb_stats)
-            np.asarray(out.blur_bins[0, 0, 0])
+            # whole-leaf transfer: slicing would dispatch a second tiny
+            # executable per rep (30-50 ms alternation cost, CLAUDE.md)
+            np.asarray(out.blur_bins)
             ts.append(time.perf_counter() - t0)
         return min(ts)
 

@@ -12,8 +12,6 @@ import numpy as np
 
 
 def main():
-    import jax
-
     from photohive_dsp_tpu import ReportConfig
     from photohive_dsp_tpu.models.batch import run_corpus
 
@@ -22,7 +20,6 @@ def main():
     rng = np.random.default_rng(0)
     total_mp = 0.0
 
-    import itertools
     order = sys.argv[1] if len(sys.argv) > 1 else "interleaved"
 
     def images():
