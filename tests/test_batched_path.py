@@ -178,3 +178,29 @@ def test_run_stream_u8_prefetch_matches():
     for a, b in zip(seq, pre):
         for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
             np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_run_f32_spatial_route_pads_to_data_axis():
+    """BatchRunner.run() (float entry) routes large images spatially and
+    pads only to the 2-D mesh's data axis (not the flat all-devices
+    axis); results match the single-device report."""
+    from photohive_dsp_tpu.parallel import mesh as meshlib
+
+    cfg = ph.ReportConfig()
+    m = meshlib.make_mesh(data=2, spatial=4)
+    runner = BatchRunner(cfg, mesh=m, spatial_route_mp=0.05)
+    img = structured_image(242, 320, seed=33)     # 0.077 MP >= 0.05
+    assert runner.routes_spatially(242, 320)
+    out = runner.run(np.asarray(img, np.float32)[None])   # b=1 -> pad to 2
+
+    fn, tables = jitted_full_report(242, 320, cfg)
+    ref = fn(jnp.asarray(img, jnp.float32), jnp.zeros((10, 4), jnp.int32),
+             jnp.zeros((10,), bool), tables)
+    assert out.rgb_stats.shape[0] == 1            # padding dropped
+    np.testing.assert_allclose(np.asarray(out.rgb_stats)[0],
+                               np.asarray(ref.rgb_stats),
+                               rtol=2e-5, atol=1e-6)
+    assert int(out.palette_n[0]) == int(ref.palette_n)
+    n = int(ref.palette_n)
+    np.testing.assert_array_equal(np.asarray(out.palette_ids)[0][:n],
+                                  np.asarray(ref.palette_ids)[:n])
