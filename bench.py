@@ -132,11 +132,14 @@ def measure(deadline: float) -> dict:
 
     from photohive_dsp_tpu import ReportConfig
 
+    from photohive_dsp_tpu.models.batch import _want_pallas
+
     cfg = ReportConfig()
     platform = jax.devices()[0].platform
     batch = _batch_for(platform)
-    use_pallas = platform not in ("cpu",) and \
-        not os.environ.get("PHOTOHIVE_NO_PALLAS")
+    # The shared gate: honors PHOTOHIVE_NO_PALLAS and excludes every
+    # non-TPU backend (gpu/cuda/rocm/METAL), not just cpu.
+    use_pallas = _want_pallas()
 
     rng = np.random.default_rng(0)
     frames = [

@@ -367,10 +367,19 @@ def run_corpus(images: Iterable[Tuple[object, np.ndarray]],
             for j, (key, _) in enumerate(chunk):
                 yield key, jax.tree.map(lambda x, j=j: x[j], out_np)
 
+    # Spatially-routed shapes flush at the mesh's data-axis quantum, not
+    # batch_size: 32 x 8+ MP uint8 images would otherwise sit in host RAM
+    # (~0.75+ GB per bucket) before the first flush even though the flush
+    # itself runs them in data-quantum sub-batches anyway.
+    thresholds: Dict[Tuple[int, int, bool], int] = {}
     for key, img in images:
         bkey = _bucket_key(img)
         buckets[bkey].append((key, img))
-        if len(buckets[bkey]) >= batch_size:
+        if bkey not in thresholds:
+            thresholds[bkey] = (runner._spatial_route_batch
+                                if runner.routes_spatially(*bkey[:2])
+                                else batch_size)
+        if len(buckets[bkey]) >= thresholds[bkey]:
             yield from flush(buckets.pop(bkey))
     for group in buckets.values():
         yield from flush(group)

@@ -213,6 +213,82 @@ def cell_counts_batched(cells: jnp.ndarray, num_cells: int) -> jnp.ndarray:
     return jnp.round(out[..., 0]).astype(jnp.int32)
 
 
+def _cell_counts_hsv_kernel(h_ref, s_ref, v_ref, out_ref, *,
+                            num_cells: int, cfg):
+    """Histogram with in-kernel cell assignment (_cell_ids_row): the same
+    Mosaic lowering of the divide/clip cell math that the palette kernel
+    uses, so a cell-boundary pixel can never land in different cells for
+    counts vs sums (the XLA assign_cells lowering is out of the loop
+    entirely on the Pallas path).  Padded pixels carry hue sentinel -1 and
+    match no one-hot row."""
+    step = pl.program_id(1)
+    c = num_cells
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (c, _CHUNK), 0)
+    ones = jnp.ones((4, _CHUNK), jnp.float32)
+
+    def row(j, acc):
+        hrow = h_ref[0, pl.ds(j, 1), :]
+        srow = s_ref[0, pl.ds(j, 1), :]
+        vrow = v_ref[0, pl.ds(j, 1), :]
+        crow = _cell_ids_row(jnp.maximum(hrow, 0.0), srow, vrow, cfg)
+        crow = jnp.where(hrow >= 0.0, crow, jnp.int32(-1))
+        oh_c = (iota_c == crow).astype(jnp.float32)
+        # 0/1 x 1.0 products are exact in the single bf16 DEFAULT pass;
+        # the f32 accumulator keeps counts exact (< 2^24 per cell).
+        return acc + jax.lax.dot_general(
+            oh_c, ones, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    acc = jax.lax.fori_loop(0, h_ref.shape[1], row,
+                            jnp.zeros((c, 4), jnp.float32))
+
+    @pl.when(step == 0)
+    def _():
+        out_ref[0] = acc
+
+    @pl.when(step > 0)
+    def _():
+        out_ref[0] += acc
+
+
+def cell_counts_from_hsv(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray,
+                         cfg) -> jnp.ndarray:
+    """Cell histogram straight from HSV pixels: (B, P) f32 x3 -> (B, C)
+    int32, with cell ids computed in-kernel (see _cell_counts_hsv_kernel).
+
+    This is the counts source for every Pallas palette path — the counts
+    and the palette sums then share ONE cell-assignment lowering (advisor
+    finding: an XLA-vs-Mosaic divide/clip difference on a boundary pixel
+    would otherwise silently desync counts vs sums).  Padded pixels must
+    carry hue < 0 (the -1 sentinel).  f32 MXU counts are exact below 2^24
+    pixels per cell; larger inputs fall back to the XLA compare-reduce
+    (which at that size is no longer boundary-sensitive in aggregate —
+    and >16.7 MP decimated palette images are outside every supported
+    config anyway)."""
+    if h.shape[1] > (1 << 24):
+        from .quantize import assign_cells, cell_counts
+        cells = jax.vmap(lambda a, b2, c2: assign_cells(a, b2, c2, cfg))(
+            jnp.maximum(h, 0.0), s, v)
+        cells = jnp.where(h >= 0.0, cells, cfg.num_cells)
+        return jax.vmap(lambda x: cell_counts(x, cfg.num_cells))(cells)
+    b = h.shape[0]
+    c = cfg.num_cells
+    shaped_h = _shape_pixels(h, -1.0)
+    sv = functools.partial(_shape_pixels, fill=0.0)
+    t = shaped_h.shape[1] // _ROWS
+    pix = pl.BlockSpec((1, _ROWS, _CHUNK), lambda bb, i: (bb, i, 0),
+                       memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_cell_counts_hsv_kernel, num_cells=c, cfg=cfg),
+        grid=(b, t),
+        in_specs=[pix, pix, pix],
+        out_specs=pl.BlockSpec((1, c, 4), lambda bb, i: (bb, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, c, 4), jnp.float32),
+    )(shaped_h, sv(s), sv(v))
+    return jnp.round(out[..., 0]).astype(jnp.int32)
+
+
 def _trunc_split3(x: jnp.ndarray):
     """Exact 3-term bf16 decomposition of f32: x == t1 + t2 + t3 bit-exactly,
     each term exactly representable in bf16.

@@ -423,29 +423,36 @@ def color_palette_batched(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray,
     total_pixels = int(np.prod(h.shape[1:]))
     b = h.shape[0]
     c = cfg.num_cells
+    if use_pallas:
+        # The whole Pallas path — histogram, per-pixel parent resolution,
+        # palette sums — computes cell ids in-kernel via ONE lowering
+        # (_cell_ids_row), never through XLA assign_cells; a boundary
+        # pixel therefore cannot desync counts vs sums, and the (B, P)
+        # int32 cells array never touches HBM.
+        from . import pallas_kernels as pk
+        hf = h.reshape(b, -1)
+        sf = s.reshape(b, -1)
+        vf = v.reshape(b, -1)
+        counts = pk.cell_counts_from_hsv(hf, sf, vf, cfg)
+        sal = jax.vmap(lambda x: saliency_f32(x, tables.s_v_f32, cfg))(counts)
+        order = pk.margin_sort(sal)
+        assign = jax.vmap(
+            lambda cnt, o: parent_assignment_from_order(
+                cnt, o, total_pixels, cfg, tables))(counts, order)
+        sums_by_k = palette_sums_by_k_auto(hf, sf, vf, assign, counts, cfg,
+                                           tables)
+        return jax.vmap(
+            lambda sk, a: palette_finalize_by_k(sk, a, total_pixels, tables)
+        )(sums_by_k, assign)
     cells = jax.vmap(lambda a, bb, cc: assign_cells(a, bb, cc, cfg))(h, s, v)
     cells = cells.reshape(b, -1)
-    # counts: the fused XLA compare-reduce measures ~2x faster than the
-    # Pallas histogram kernel when embedded in the full pipeline program
-    # (both are VPU-compare-bound; the XLA fusion wins on int compares).
     counts = jax.vmap(lambda x: cell_counts(x, c))(cells)
     sal = jax.vmap(lambda x: saliency_f32(x, tables.s_v_f32, cfg))(counts)
-    if use_pallas:
-        from . import pallas_kernels as pk
-        order = pk.margin_sort(sal)
-    else:
-        order = jax.vmap(margin_insertion_argsort)(sal)
+    order = jax.vmap(margin_insertion_argsort)(sal)
     assign = jax.vmap(
         lambda cnt, o: parent_assignment_from_order(cnt, o, total_pixels,
                                                     cfg, tables)
     )(counts, order)
-    if use_pallas:
-        sums_by_k = palette_sums_by_k_auto(
-            h.reshape(b, -1), s.reshape(b, -1), v.reshape(b, -1),
-            assign, counts, cfg, tables)
-        return jax.vmap(
-            lambda sk, a: palette_finalize_by_k(sk, a, total_pixels, tables)
-        )(sums_by_k, assign)
     sums = jax.vmap(
         lambda hh, ss, vv, cc2, a: palette_pixel_sums(hh, ss, vv, cc2, a,
                                                       cfg, tables)

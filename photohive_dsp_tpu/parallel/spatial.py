@@ -394,10 +394,15 @@ def spatial_report_body(rgb_local: jnp.ndarray, down_local: jnp.ndarray,
         s_bar = jax.lax.psum(jnp.sum(s * dv_pix), axis_name) / d_total
     else:
         s_bar = jax.lax.psum(jnp.sum(s), axis_name) / d_total
-    counts = jax.lax.psum(quantize.cell_counts(cells, cfg.num_cells),
-                          axis_name)
     if use_pallas:
         from ..ops import pallas_kernels as pk
+        # Counts from the hsv Pallas kernel: the identical in-kernel cell
+        # assignment the palette pixel pass uses (one lowering for counts
+        # AND sums; XLA assign_cells above dead-code-eliminates here).
+        counts = jax.lax.psum(
+            pk.cell_counts_from_hsv(h_pal.reshape(1, -1),
+                                    s.reshape(1, -1), v.reshape(1, -1),
+                                    cfg)[0], axis_name)
         sal = quantize.saliency_f32(counts, octree.s_v_f32, cfg)
         order = pk.margin_sort(sal[None])[0]
         assign = quantize.parent_assignment_from_order(counts, order,
@@ -411,6 +416,8 @@ def spatial_report_body(rgb_local: jnp.ndarray, down_local: jnp.ndarray,
         palette = quantize.palette_finalize_by_k(sums_k, assign, d_total,
                                                  octree)
     else:
+        counts = jax.lax.psum(quantize.cell_counts(cells, cfg.num_cells),
+                              axis_name)
         assign = quantize.parent_assignment(counts, d_total, cfg, octree)
         sums = jax.lax.psum(
             quantize.palette_pixel_sums(h, s, v, cells, assign, cfg,

@@ -283,6 +283,19 @@ def process_corpus(paths: Iterable[str], output_dir: str,
 
     shapes = {}
     skip_log = open(skip_path, "a")
+    # images() runs inside prefetch_iter's background thread while the
+    # finally below closes the file from the consumer thread; the lock +
+    # closed check keep a mid-stream consumer exception from racing the
+    # producer into a write-after-close ValueError (the skip record is
+    # then simply re-logged on resume — at-least-once).
+    skip_lock = threading.Lock()
+
+    def log_skip(p, err) -> None:
+        with skip_lock:
+            if skip_log.closed:
+                return
+            skip_log.write(json.dumps({"key": str(p), "error": err}) + "\n")
+            skip_log.flush()
 
     def load_one(p):
         try:
@@ -299,9 +312,7 @@ def process_corpus(paths: Iterable[str], output_dir: str,
         for p, img, err in decoded:
             if img is None:
                 print(f"skipping {p}: {err}")
-                skip_log.write(json.dumps({"key": str(p),
-                                           "error": err}) + "\n")
-                skip_log.flush()
+                log_skip(p, err)
                 continue
             shapes[p] = (img.shape[0], img.shape[1])
             yield p, img
@@ -330,5 +341,6 @@ def process_corpus(paths: Iterable[str], output_dir: str,
             if pending:
                 wm.mark(pending)
     finally:
-        skip_log.close()
+        with skip_lock:
+            skip_log.close()
     return processed

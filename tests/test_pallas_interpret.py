@@ -185,6 +185,35 @@ def test_cell_counts_interpret(cfg):
     assert np.array_equal(np.asarray(got), np.asarray(ref))
 
 
+def test_cell_counts_from_hsv_interpret(cfg):
+    """The hsv-input histogram kernel (in-kernel cell assignment) matches
+    assign_cells + compare-reduce exactly, and hue-sentinel pixels count
+    for nothing."""
+    rng = np.random.default_rng(10)
+    b, p_real, p_masked = 2, 5000, 432
+    h = jnp.asarray(rng.random((b, p_real)) * 360, jnp.float32)
+    s = jnp.asarray(rng.random((b, p_real)) * 0.999, jnp.float32)
+    v = jnp.asarray(rng.random((b, p_real)) * 0.999, jnp.float32)
+    # Exercise boundary-adjacent values too: snap a slice of pixels onto
+    # exact cell-edge s/v/h values where divide/clip rounding matters.
+    s = s.at[:, :200].set(jnp.float32(cfg.gray_thresh))
+    v = v.at[:, 200:400].set(jnp.float32(cfg.black_thresh))
+    h = h.at[:, 400:600].set(jnp.float32(cfg.cell_Lh) * 3)
+    h_all = jnp.concatenate(
+        [h, jnp.full((b, p_masked), -1.0, jnp.float32)], axis=1)
+    s_all = jnp.concatenate(
+        [s, jnp.asarray(rng.random((b, p_masked)), jnp.float32)], 1)
+    v_all = jnp.concatenate(
+        [v, jnp.asarray(rng.random((b, p_masked)), jnp.float32)], 1)
+    with pltpu.force_tpu_interpret_mode():
+        got = pk.cell_counts_from_hsv(h_all, s_all, v_all, cfg)
+    cells = jax.vmap(lambda a, b2, c2: quantize.assign_cells(
+        a, b2, c2, cfg))(h, s, v)
+    ref = jax.vmap(lambda x: quantize.cell_counts(x, cfg.num_cells))(cells)
+    assert np.array_equal(np.asarray(got), np.asarray(ref))
+    assert np.asarray(got).sum() == b * p_real
+
+
 def test_full_pipeline_interpret(cfg):
     """The fused use_pallas=True report program end to end (kernel wiring,
     cond branch, batched sharpness) against the XLA path."""

@@ -63,6 +63,24 @@ def main() -> int:
     check("cell_counts exact",
           bool((np.asarray(refc) == np.asarray(gotc)).all()))
 
+    # hsv-input histogram (in-kernel cell assignment): the counts source
+    # of the Pallas palette path.  Checked against XLA assign_cells on
+    # boundary-snapped pixels — this is the Mosaic-vs-XLA divide/clip
+    # lowering check the advisor called out; a mismatch here means the
+    # Pallas path stays internally consistent but its cell boundaries
+    # differ from the XLA/golden path.
+    hh = jnp.asarray(rng.random((4, 123457)) * 360, jnp.float32)
+    ss = jnp.asarray(rng.random((4, 123457)) * 0.999, jnp.float32)
+    vv = jnp.asarray(rng.random((4, 123457)) * 0.999, jnp.float32)
+    ss = ss.at[:, :3000].set(jnp.float32(cfg.gray_thresh))
+    vv = vv.at[:, 3000:6000].set(jnp.float32(cfg.black_thresh))
+    hh = hh.at[:, 6000:9000].set(jnp.float32(cfg.cell_Lh) * 3)
+    gothsv = jax.jit(lambda *a: pk.cell_counts_from_hsv(*a, cfg))(hh, ss, vv)
+    refhsv = jax.jit(jax.vmap(lambda a, b2, c2: quantize.cell_counts(
+        quantize.assign_cells(a, b2, c2, cfg), cfg.num_cells)))(hh, ss, vv)
+    check("cell_counts_from_hsv exact (boundary pixels)",
+          bool((np.asarray(gothsv) == np.asarray(refhsv)).all()))
+
     # polar bins
     h_dim, w_dim = 480, 640
     geom = polar_geometry(h_dim, w_dim, cfg.angle_partitions,
