@@ -68,13 +68,15 @@ from .config import (MAX_CROP_BOXES, NUM_BLUR_VECTORS, ReportConfig,
                      check_image_dims)
 from .models.pipeline import (ReportData, ReportTables, full_report,
                               jitted_full_report)
+from .ops.colorspace import crop_image, crop_pgm
 from .report import Report
 
 __version__ = "0.1.0"
 
 __all__ = [
     "ReportConfig", "Report", "ReportData", "ReportTables", "full_report",
-    "get_report", "set_bounding_boxes", "__version__",
+    "get_report", "set_bounding_boxes", "crop_image", "crop_pgm",
+    "__version__",
 ]
 
 

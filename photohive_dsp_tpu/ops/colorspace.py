@@ -92,6 +92,35 @@ def downsample_rgb(rgb: jnp.ndarray, rate: int) -> jnp.ndarray:
     return rgb[:, rows][:, :, cols]
 
 
+def crop_pgm(pgm: jnp.ndarray, right: int, left: int, bottom: int,
+             top: int) -> jnp.ndarray:
+    """Standalone crop of a (H, W) grayscale image (reference
+    src/image_processing.c:213-233, same argument order).
+
+    Returns pgm[top:bottom, left:right].  Out-of-range or negative
+    boundaries return None, like the reference's NULL (its bound check
+    allows right/bottom == width/height; degenerate right <= left or
+    bottom <= top yields an empty array just as the C loop copies
+    nothing).  Bounds must be Python ints (shapes are static under jit);
+    the report pipeline itself uses the masked fused sharpness path
+    (ops/sharpness.py) instead of materializing crops."""
+    h, w = pgm.shape[-2], pgm.shape[-1]
+    if right > w or left > w or bottom > h or top > h \
+            or min(right, left, bottom, top) < 0:
+        import sys
+        print("Error: crop boundaries outside of image boundaries.",
+              file=sys.stderr)
+        return None
+    return pgm[..., top:bottom, left:right]
+
+
+def crop_image(rgb: jnp.ndarray, right: int, left: int, bottom: int,
+               top: int) -> jnp.ndarray:
+    """Standalone crop of a (3, H, W) RGB image (reference
+    src/image_processing.c:244-268).  Same bound semantics as crop_pgm."""
+    return crop_pgm(rgb, right, left, bottom, top)
+
+
 def pgm_to_rgb(pgm: jnp.ndarray) -> jnp.ndarray:
     """Grayscale -> (3, H, W) by channel replication (reference
     src/image_processing.c:515-524).  Dev/viz utility, not on the report

@@ -138,6 +138,17 @@ def margin_insertion_argsort(sal: jnp.ndarray) -> jnp.ndarray:
     that does NOT satisfy the margin condition — computable with one
     vectorized pass per outer step.  reference: src/utilities.c:132-153,
     src/color_quantization.c:601-611.
+
+    Cost: O(C^2) work on C-1 *sequential* fori_loop steps — inherent to
+    the comparator (non-transitive margin comparisons admit no parallel
+    sorting network that reproduces insertion-sort order).  At the default
+    C=112 this is ~12k vector-lane ops, invisible next to the per-pixel
+    stages; at the largest legal config (h_partitions=360 -> C=2164) it is
+    ~4.7M lane ops on 2163 dependent steps, still far below one 1080p
+    pixel pass but the dominant *serial* chain in the program.  The Pallas
+    kernel (pallas_kernels.margin_sort) unrolls its steps straight-line,
+    so saliency_argsort routes C > _PALLAS_SORT_MAX_C configs here instead
+    (an unrolled 2000-step Mosaic kernel would explode compile time).
     """
     c = sal.shape[0]
     iota = jnp.arange(c, dtype=jnp.int32)
@@ -158,6 +169,28 @@ def margin_insertion_argsort(sal: jnp.ndarray) -> jnp.ndarray:
                       jnp.where(iota <= i, shifted, order)))
         return new_order
     return jax.lax.fori_loop(1, c, body, iota)
+
+
+# Above this cell count the Pallas margin-sort kernel (which unrolls its
+# C-1 insertion steps straight-line for speed at the default C=112) is
+# routed back to the fori_loop emulation: a multi-thousand-step unrolled
+# Mosaic kernel costs minutes of compile for a sort that is ~0.1% of the
+# program.  The largest legal config (h_partitions=360, s=2, v=3) has
+# C=2164.
+_PALLAS_SORT_MAX_C = 512
+
+
+def saliency_argsort(sal: jnp.ndarray, use_pallas: bool) -> jnp.ndarray:
+    """Batched margin argsort (B, C) -> (B, C) with kernel routing.
+
+    The Pallas kernel below _PALLAS_SORT_MAX_C cells on TPU; the XLA
+    fori_loop otherwise (see margin_insertion_argsort's cost note).
+    Identical results either way — both are exact comparator emulations.
+    """
+    if use_pallas and sal.shape[-1] <= _PALLAS_SORT_MAX_C:
+        from . import pallas_kernels as pk
+        return pk.margin_sort(sal)
+    return jax.vmap(margin_insertion_argsort)(sal)
 
 
 def select_valid_parents(counts: jnp.ndarray, order: jnp.ndarray,
@@ -435,7 +468,7 @@ def color_palette_batched(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray,
         vf = v.reshape(b, -1)
         counts = pk.cell_counts_from_hsv(hf, sf, vf, cfg)
         sal = jax.vmap(lambda x: saliency_f32(x, tables.s_v_f32, cfg))(counts)
-        order = pk.margin_sort(sal)
+        order = saliency_argsort(sal, True)
         assign = jax.vmap(
             lambda cnt, o: parent_assignment_from_order(
                 cnt, o, total_pixels, cfg, tables))(counts, order)

@@ -404,7 +404,7 @@ def spatial_report_body(rgb_local: jnp.ndarray, down_local: jnp.ndarray,
                                     s.reshape(1, -1), v.reshape(1, -1),
                                     cfg)[0], axis_name)
         sal = quantize.saliency_f32(counts, octree.s_v_f32, cfg)
-        order = pk.margin_sort(sal[None])[0]
+        order = quantize.saliency_argsort(sal[None], True)[0]
         assign = quantize.parent_assignment_from_order(counts, order,
                                                        d_total, cfg, octree)
         sums_k = quantize.palette_sums_by_k_auto(

@@ -118,3 +118,21 @@ def test_nan_checks_toggle():
     finally:
         nan_checks(False)
     assert not jax.config.jax_debug_nans
+
+
+def test_crop_pgm_and_crop_image_parity():
+    """Standalone crops (reference src/image_processing.c:213-341): exact
+    slice, reference argument order (right, left, bottom, top), None on
+    out-of-range or negative bounds (the C NULL)."""
+    rng = np.random.default_rng(7)
+    pgm = rng.random((40, 60)).astype(np.float32)
+    got = colorspace.crop_pgm(pgm, right=50, left=10, bottom=30, top=5)
+    np.testing.assert_array_equal(np.asarray(got), pgm[5:30, 10:50])
+    rgb = rng.random((3, 40, 60)).astype(np.float32)
+    got3 = colorspace.crop_image(rgb, 60, 0, 40, 0)  # full-image bounds OK
+    np.testing.assert_array_equal(np.asarray(got3), rgb)
+    assert colorspace.crop_pgm(pgm, 61, 0, 40, 0) is None   # right > width
+    assert colorspace.crop_pgm(pgm, 50, -1, 30, 5) is None  # negative
+    assert colorspace.crop_image(rgb, 60, 0, 41, 0) is None  # bottom > h
+    import photohive_dsp_tpu as ph
+    assert ph.crop_pgm is colorspace.crop_pgm  # public API surface

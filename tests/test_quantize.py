@@ -130,3 +130,27 @@ def test_tied_cells_per_pixel_branch():
     np.testing.assert_allclose(np.asarray(res.percentages)[:n], ref_pct,
                                atol=1e-7)
     np.testing.assert_allclose(np.asarray(res.hsv)[:n], ref_avg, atol=2e-3)
+
+
+def test_saliency_argsort_big_c_routes_to_fori_loop():
+    """Large-C configs (h_partitions=360 -> C=2164) must route around the
+    unrolled Pallas sort kernel (straight-line Mosaic compile would explode)
+    and still sort exactly.  Python insertion-sort emulation is the spec."""
+    big = quantize.ReportConfig(h_partitions=360)
+    big.validate()
+    c = big.num_cells
+    assert c > quantize._PALLAS_SORT_MAX_C
+    rng = np.random.default_rng(11)
+    sal = (rng.integers(0, 60, c) + rng.random(c) * 0.8).astype(np.float32)
+    # use_pallas=True must still take the XLA path at this C (no Mosaic
+    # lowering exists on CPU, so reaching the kernel would raise).
+    ours = np.asarray(quantize.saliency_argsort(
+        jnp.asarray(sal)[None], True))[0]
+    order = list(range(c))
+    for i in range(1, c):
+        j = i
+        while j > 0 and int(np.float32(sal[order[j - 1]])
+                            - np.float32(sal[order[j]])) < 0:
+            order[j - 1], order[j] = order[j], order[j - 1]
+            j -= 1
+    np.testing.assert_array_equal(ours, np.array(order))
