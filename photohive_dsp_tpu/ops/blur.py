@@ -26,21 +26,79 @@ from .filtering import trailing_circular_box
 from .geometry import polar_geometry
 
 
-class PolarTables(NamedTuple):
-    """Device-resident polar binning constants (see geometry.PolarGeometry)."""
+# Polar gather-table memory audit (defaults A=72, R=40; int32 entries).
+# pad_index is (A*R, Lmax) where Lmax = the most populated bin, which grows
+# linearly with the spectrum (the outermost radius ring dominates), so the
+# table stays a constant ~3.6x the spectrum itself:
+#
+#   image        spectrum px   Lmax    table     spectrum   ratio
+#   720x1080     0.39 M        451     5.2 MB    1.6 MB     3.3x
+#   1080x1920    1.04 M        1293    14.9 MB   4.2 MB     3.6x
+#   2160x3840    4.15 M        5171    59.6 MB   16.6 MB    3.6x
+#   4320x7680    16.59 M       20662   238.0 MB  66.4 MB    3.6x
+#
+# Above _PAD_TABLE_MAX_BYTES the XLA path drops the table entirely
+# (pad_index=None) and reduces through the flat bin-ids chunked one-hot
+# contraction instead (O(1) extra memory beyond the P int32 ids — the
+# reference's scatter, src/blur_profile.c:87-100, is O(1) too).  The
+# Pallas TPU path always uses flat ids and never pays the table.
+_PAD_TABLE_MAX_BYTES = int(float(__import__("os").environ.get(
+    "PHOTOHIVE_POLAR_TABLE_MB", "24")) * 1e6)
 
-    pad_index: jnp.ndarray   # (A*R, Lmax) int32 (gather path, XLA/CPU)
+_FLAT_CHUNK = 1 << 16
+
+
+class PolarTables(NamedTuple):
+    """Device-resident polar binning constants (see geometry.PolarGeometry).
+
+    ``pad_index`` is None for shapes whose gather table would exceed
+    _PAD_TABLE_MAX_BYTES; the XLA path then reduces via flat bin ids."""
+
+    pad_index: jnp.ndarray   # (A*R, Lmax) int32 (gather path, XLA/CPU) | None
     bin_counts: jnp.ndarray  # (A*R,) int32
-    bin_ids: jnp.ndarray     # (H * fft_width,) int32 (Pallas MXU path)
+    bin_ids: jnp.ndarray     # (H * fft_width,) int32 (Pallas / flat path)
 
     @classmethod
     def for_shape(cls, height: int, width: int, cfg: ReportConfig)\
             -> "PolarTables":
         geom = polar_geometry(height, width, cfg.angle_partitions,
                               cfg.radius_partitions)
-        return cls(pad_index=jnp.asarray(geom.pad_index),
+        pad = None
+        if geom.pad_index.size * 4 <= _PAD_TABLE_MAX_BYTES:
+            pad = jnp.asarray(geom.pad_index)
+        return cls(pad_index=pad,
                    bin_counts=jnp.asarray(geom.bin_counts),
                    bin_ids=jnp.asarray(geom.bin_ids))
+
+
+def polar_bin_sums_flat_xla(flat_vals: jnp.ndarray, bin_ids: jnp.ndarray,
+                            num_bins: int) -> jnp.ndarray:
+    """Flat-ids bin sums without the padded gather table: (P,) f32 x (P,)
+    int32 -> (num_bins,) f32 via a scan of chunked one-hot contractions
+    (the XLA twin of pallas_kernels.polar_bin_sums).  Sentinel ids >=
+    num_bins match no one-hot row and drop out, so callers pad freely."""
+    p = flat_vals.shape[0]
+    pad = (-p) % _FLAT_CHUNK
+    if pad:
+        flat_vals = jnp.concatenate(
+            [flat_vals, jnp.zeros((pad,), flat_vals.dtype)])
+        bin_ids = jnp.concatenate(
+            [bin_ids, jnp.full((pad,), num_bins, jnp.int32)])
+    n_chunks = flat_vals.shape[0] // _FLAT_CHUNK
+    iota = jnp.arange(num_bins, dtype=jnp.int32)
+
+    def body(acc, chunk):
+        vals, ids = chunk
+        onehot = (ids[:, None] == iota[None, :]).astype(flat_vals.dtype)
+        return acc + jnp.dot(onehot.T, vals[:, None],
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)[:, 0], None
+
+    init = jnp.zeros((num_bins,), jnp.float32)
+    sums, _ = jax.lax.scan(
+        body, init, (flat_vals.reshape(n_chunks, _FLAT_CHUNK),
+                     bin_ids.reshape(n_chunks, _FLAT_CHUNK)))
+    return sums
 
 
 def blur_profile_bins(mag_norm: jnp.ndarray, tables: PolarTables,
@@ -52,11 +110,16 @@ def blur_profile_bins(mag_norm: jnp.ndarray, tables: PolarTables,
     Returns (A, R) f32 bins; empty bins are 0 (reference
     src/blur_profile.c:106-116).
     """
-    flat = jnp.concatenate(
-        [mag_norm.reshape(-1), jnp.zeros((1,), mag_norm.dtype)]
-    )
-    padded = flat[tables.pad_index]            # (A*R, Lmax), zeros past count
-    sums = jnp.sum(padded, axis=1)
+    if tables.pad_index is None:               # large shape: flat-ids path
+        sums = polar_bin_sums_flat_xla(
+            mag_norm.reshape(-1), tables.bin_ids,
+            num_angle_bins * num_radius_bins)
+    else:
+        flat = jnp.concatenate(
+            [mag_norm.reshape(-1), jnp.zeros((1,), mag_norm.dtype)]
+        )
+        padded = flat[tables.pad_index]        # (A*R, Lmax), zeros past count
+        sums = jnp.sum(padded, axis=1)
     counts = tables.bin_counts.astype(mag_norm.dtype)
     means = jnp.where(tables.bin_counts > 0, sums / jnp.maximum(counts, 1), 0.0)
     return means.reshape(num_angle_bins, num_radius_bins)

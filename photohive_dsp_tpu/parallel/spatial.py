@@ -45,16 +45,21 @@ class ShardedPolarTables(NamedTuple):
     """Per-shard polar bin tables in each shard's local spectrum space."""
 
     pad_index: np.ndarray    # (n_shards, A*R, Lmax) int32, sentinel = H*Wc
+    #                          ((n_shards, 1, 1) dummy when flat_route)
     flat_ids: np.ndarray     # (n_shards, H*Wc) int32, sentinel = A*R
     #                          (the Pallas one-hot GEMM path's layout)
     counts: np.ndarray       # (A*R,) int32 global bin counts
     wc: int                  # columns per shard after the all_to_all
+    flat_route: bool         # True: gather table too big (see ops/blur.py
+    #                          memory audit); XLA path uses flat_ids
 
 
 @functools.lru_cache(maxsize=16)
 def sharded_polar_tables(height: int, width: int, num_angle_bins: int,
                          num_radius_bins: int, n_shards: int)\
         -> ShardedPolarTables:
+    from ..ops.blur import _PAD_TABLE_MAX_BYTES
+
     geom = polar_geometry(height, width, num_angle_bins, num_radius_bins)
     wf = geom.fft_width
     wc = -(-wf // n_shards)
@@ -82,18 +87,25 @@ def sharded_polar_tables(height: int, width: int, num_angle_bins: int,
         counts_k = np.bincount(flat_ids, minlength=num_bins)
         l_max = max(l_max, int(counts_k.max()))
         tables.append((order, (flat_ids, flat_local, counts_k)))
-    pad = np.full((n_shards, num_bins, l_max), sentinel, dtype=np.int32)
-    for k, (order, extra) in enumerate(tables):
-        if extra is None:
-            continue
-        flat_ids, flat_local, counts_k = extra
-        starts = np.zeros(num_bins + 1, np.int64)
-        np.cumsum(counts_k, out=starts[1:])
-        seg_pos = np.arange(flat_ids.size) - starts[flat_ids[order]]
-        pad[k, flat_ids[order], seg_pos] = flat_local[order]
+    # Same memory-blowup routing as the single-chip tables (ops/blur.py
+    # audit: the gather table is ~3.6x the spectrum): above the budget,
+    # skip the table build entirely and reduce through flat ids.
+    flat_route = num_bins * l_max * n_shards * 4 > _PAD_TABLE_MAX_BYTES
+    if flat_route:
+        pad = np.zeros((n_shards, 1, 1), dtype=np.int32)  # shard_map dummy
+    else:
+        pad = np.full((n_shards, num_bins, l_max), sentinel, dtype=np.int32)
+        for k, (order, extra) in enumerate(tables):
+            if extra is None:
+                continue
+            flat_ids, flat_local, counts_k = extra
+            starts = np.zeros(num_bins + 1, np.int64)
+            np.cumsum(counts_k, out=starts[1:])
+            seg_pos = np.arange(flat_ids.size) - starts[flat_ids[order]]
+            pad[k, flat_ids[order], seg_pos] = flat_local[order]
     return ShardedPolarTables(pad_index=pad, flat_ids=ids_flat,
                               counts=geom.bin_counts.astype(np.int32),
-                              wc=wc)
+                              wc=wc, flat_route=flat_route)
 
 
 def _halo_rows(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
@@ -280,12 +292,15 @@ def _sharded_blur_bins(pgm_local: jnp.ndarray, dc: jnp.ndarray,
                        flat_ids_local: jnp.ndarray,
                        counts_global: jnp.ndarray, wc: int, height: int,
                        width: int, cfg: ReportConfig, axis_name: str,
-                       use_pallas: bool = False) -> jnp.ndarray:
+                       use_pallas: bool = False,
+                       polar_flat: bool = False) -> jnp.ndarray:
     """Distributed 2-D rFFT -> log normalize -> polar bins, psum-merged.
 
     With ``use_pallas`` the local polar partial sums run through the
     one-hot MXU GEMM kernel (ops/pallas_kernels.polar_bin_sums) against
-    this shard's bin-id table; otherwise the XLA static gather."""
+    this shard's bin-id table; otherwise the XLA static gather — unless
+    ``polar_flat`` (gather table over the memory budget; ops/blur.py
+    audit), which uses the chunked flat-ids one-hot contraction."""
     n = jax.lax.psum(1, axis_name)
     wf = width // 2 + 1
     x = pgm_local - dc
@@ -305,6 +320,10 @@ def _sharded_blur_bins(pgm_local: jnp.ndarray, dc: jnp.ndarray,
         from ..ops import pallas_kernels as pk
         sums = pk.polar_bin_sums(norm.reshape(1, -1), flat_ids_local,
                                  num_bins)[0]            # (A*R,)
+    elif polar_flat:
+        from ..ops.blur import polar_bin_sums_flat_xla
+        sums = polar_bin_sums_flat_xla(norm.reshape(-1), flat_ids_local,
+                                       num_bins)         # (A*R,)
     else:
         flat = jnp.concatenate([norm.reshape(-1),
                                 jnp.zeros((1,), norm.dtype)])
@@ -325,7 +344,8 @@ def spatial_report_body(rgb_local: jnp.ndarray, down_local: jnp.ndarray,
                         axis_name: str = SPATIAL_AXIS,
                         use_pallas: bool = False,
                         any_tiny=None,
-                        palette_force_wide: bool = False) -> ReportData:
+                        palette_force_wide: bool = False,
+                        polar_flat: bool = False) -> ReportData:
     """Per-shard body computing the full report for one row-sharded image.
 
     rgb_local:  (3, H/n, W) full-resolution rows (stats, sharpness, blur).
@@ -431,7 +451,7 @@ def spatial_report_body(rgb_local: jnp.ndarray, down_local: jnp.ndarray,
     dc = (stats[0] + stats[1] + stats[2]) / 3.0
     bins = _sharded_blur_bins(pgm, dc, pad_index_local, flat_ids_local,
                               counts_global, wc, height, width, cfg,
-                              axis_name, use_pallas)
+                              axis_name, use_pallas, polar_flat)
     angles, mags = vectorize_blur_profile(bins, cfg)
 
     return ReportData(
@@ -468,7 +488,8 @@ def build_spatial_report(mesh: Mesh, height: int, width: int,
         return spatial_report_body(rgb_loc, down_loc, boxes, valid,
                                    pad_loc[0], ids_loc[0], octree_t, counts,
                                    tabs.wc, height, width, cfg,
-                                   SPATIAL_AXIS, use_pallas)
+                                   SPATIAL_AXIS, use_pallas,
+                                   polar_flat=tabs.flat_route)
 
     shard_fn = jax.shard_map(
         body, mesh=mesh,
@@ -537,7 +558,8 @@ def build_dp_spatial_report(mesh: Mesh, batch: int, height: int,
                                        pad_loc[0], ids_loc[0], octree_t,
                                        counts, tabs.wc, height, width, cfg,
                                        SPATIAL_AXIS, use_pallas, any_tiny,
-                                       palette_force_wide=True)
+                                       palette_force_wide=True,
+                                       polar_flat=tabs.flat_route)
         return jax.vmap(one)(rgb_loc, down_loc, boxes, valid)
 
     shard_fn = jax.shard_map(

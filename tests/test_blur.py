@@ -102,3 +102,47 @@ def test_vectorize_detects_motion_blur():
     for (ra, rm), (oa, om) in zip(ref, ours):
         assert ra == oa
         assert abs(rm - om) < 1e-5
+
+
+def test_polar_flat_xla_matches_gather():
+    """The flat-ids chunked one-hot reduction (large-shape XLA route) must
+    match the padded-gather path to float32 rounding, and the memory
+    routing must drop the gather table above the budget."""
+    h, w = 480, 640
+    geom = geometry.polar_geometry(h, w, CFG.angle_partitions,
+                                   CFG.radius_partitions)
+    num_bins = CFG.angle_partitions * CFG.radius_partitions
+    rng = np.random.default_rng(3)
+    mag = jnp.asarray(rng.random((h, geom.fft_width)), jnp.float32)
+    tables = blur.PolarTables.for_shape(h, w, CFG)
+    assert tables.pad_index is not None  # small shape keeps the table
+    ref = np.asarray(blur.blur_profile_bins(
+        mag, tables, CFG.angle_partitions, CFG.radius_partitions))
+    flat_sums = np.asarray(blur.polar_bin_sums_flat_xla(
+        mag.reshape(-1), tables.bin_ids, num_bins))
+    counts = np.asarray(tables.bin_counts)
+    flat_means = np.where(counts > 0, flat_sums / np.maximum(counts, 1), 0.0)
+    flat_means = flat_means.reshape(ref.shape)
+    assert np.abs(flat_means - ref).max() < 1e-5
+    # routed tables: pad_index dropped, pipeline output identical
+    routed = blur.PolarTables(pad_index=None,
+                              bin_counts=tables.bin_counts,
+                              bin_ids=tables.bin_ids)
+    got = np.asarray(blur.blur_profile_bins(
+        mag, routed, CFG.angle_partitions, CFG.radius_partitions))
+    assert np.abs(got - ref).max() < 1e-5
+
+
+def test_polar_table_memory_routing():
+    """4K-class shapes exceed the 24 MB default budget -> flat route on
+    both the single-chip and sharded tables (VERDICT r2 item 6: the
+    gather table is ~3.6x the spectrum, 238 MB at 8K)."""
+    from photohive_dsp_tpu.parallel.spatial import sharded_polar_tables
+    t4k = blur.PolarTables.for_shape(2160, 3840, CFG)
+    assert t4k.pad_index is None
+    st = sharded_polar_tables(2160, 3840, CFG.angle_partitions,
+                              CFG.radius_partitions, 2)
+    assert st.flat_route and st.pad_index.shape == (2, 1, 1)
+    st_small = sharded_polar_tables(480, 640, CFG.angle_partitions,
+                                    CFG.radius_partitions, 2)
+    assert not st_small.flat_route

@@ -6,13 +6,18 @@
 # round needs from a live chip, in priority order, each under its own
 # timeout, appending to tools/on_chip_session.log:
 #   1. tools/tpu_parity_check.py  — validate all pending Mosaic kernels
-#   2. bench.py                   — the driver-contract perf number
+#   2. bench.py                   — the driver-contract perf number,
+#      gated by tools/perf_floor_gate.py against the last committed chip
+#      number x0.8 (a Mosaic scheduling regression passes every CPU test;
+#      only this floor catches it) — the session exits nonzero on FAIL
 #   3. tools/ablate_stages.py     — stage deltas + palette-kernel A/B
 #
 # Usage: bash tools/on_chip_session.sh
 set -u
 cd "$(dirname "$0")/.."
 LOG=tools/on_chip_session.log
+GATE_RC_FILE=$(mktemp)
+echo 0 > "$GATE_RC_FILE"
 {
   echo "=== on-chip session $(date -u +%FT%TZ) ==="
 
@@ -27,8 +32,14 @@ print('probe ok:', (x@x).sum(), jax.default_backend(), jax.devices()[0].device_k
   echo "parity rc=$?"
 
   echo "--- 2/3 bench ---"
-  timeout 900 python bench.py
+  BENCH_OUT=$(mktemp)
+  timeout 900 python bench.py | tee "$BENCH_OUT"
   echo "bench rc=$?"
+  echo "--- perf floor gate ---"
+  timeout 60 python tools/perf_floor_gate.py "$BENCH_OUT"
+  GATE_RC=$?
+  echo "floor gate rc=$GATE_RC"
+  echo "$GATE_RC" > "$GATE_RC_FILE"
 
   echo "--- 3/3 ablation + kernel A/B ---"
   timeout 1200 python tools/ablate_stages.py 1080 1920 16
@@ -36,3 +47,4 @@ print('probe ok:', (x@x).sum(), jax.default_backend(), jax.devices()[0].device_k
 
   echo "=== session done $(date -u +%FT%TZ) ==="
 } 2>&1 | tee -a "$LOG"
+exit "$(cat "$GATE_RC_FILE")"
