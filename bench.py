@@ -221,7 +221,61 @@ def measure(deadline: float) -> dict:
         except Exception as exc:  # noqa: BLE001 — never lose the number
             print(f"roofline skipped: {type(exc).__name__}: {exc}",
                   file=sys.stderr)
+
+    # BASELINE config #2: single-4K blur-profile chain (DC removal ->
+    # 2-D rFFT magnitude^2 -> log normalize -> polar bins).  Reference
+    # stage total 0.572 s at ~2 MP (README.md:73); this measures the
+    # full chain per 4K image on-chip.
+    if deadline - time.perf_counter() > 90.0:
+        try:
+            result.update(_measure_blur_4k(use_pallas, platform))
+        except Exception as exc:  # noqa: BLE001 — never lose the number
+            print(f"4k blur bench skipped: {type(exc).__name__}: {exc}",
+                  file=sys.stderr)
     return result
+
+
+def _measure_blur_4k(use_pallas: bool, platform: str) -> dict:
+    """Blur-profile chain on 2160x3840 grayscale: ms/image and MP/s.
+
+    Exercises the large-shape polar path (the 4K gather table is over
+    the memory budget, so the XLA route reduces through flat bin ids;
+    the Pallas route always did — see ops/blur.py audit)."""
+    import jax
+    import jax.numpy as jnp
+
+    from photohive_dsp_tpu import ReportConfig
+    from photohive_dsp_tpu.ops.blur import (PolarTables,
+                                            blur_profile_bins_batched)
+    from photohive_dsp_tpu.ops.fft import magnitude_fft_normalized
+
+    cfg = ReportConfig()
+    h4, w4 = 2160, 3840
+    batch = 1 if platform == "cpu" else 4
+    tables = PolarTables.for_shape(h4, w4, cfg)
+
+    @jax.jit
+    def chain(pgm):
+        dc = jnp.mean(pgm, axis=(1, 2), keepdims=True)
+        mag = jax.vmap(magnitude_fft_normalized)(pgm - dc)
+        return blur_profile_bins_batched(mag, tables, cfg.angle_partitions,
+                                         cfg.radius_partitions, use_pallas)
+
+    rng = np.random.default_rng(1)
+    frames = [jax.device_put(rng.random((batch, h4, w4), np.float32))
+              for _ in range(2)]
+    np.asarray(chain(frames[0]))  # warm
+    t0 = time.perf_counter()
+    iters = 2 if platform == "cpu" else 6
+    for i in range(iters):
+        out = chain(frames[i % 2])
+        np.asarray(out)
+    dt = time.perf_counter() - t0
+    ms = dt / (iters * batch) * 1e3
+    print(f"4k blur chain: {ms:.1f} ms/image (batch {batch})",
+          file=sys.stderr)
+    return {"blur_4k_ms": round(ms, 2),
+            "blur_4k_mps": round(h4 * w4 / 1e6 / (ms / 1e3), 1)}
 
 
 def _cache_result(result: dict) -> None:

@@ -37,13 +37,27 @@ from .geometry import polar_geometry
 #   2160x3840    4.15 M        5171    59.6 MB   16.6 MB    3.6x
 #   4320x7680    16.59 M       20662   238.0 MB  66.4 MB    3.6x
 #
-# Above _PAD_TABLE_MAX_BYTES the XLA path drops the table entirely
+# Above the table budget the XLA path drops the table entirely
 # (pad_index=None) and reduces through the flat bin-ids chunked one-hot
 # contraction instead (O(1) extra memory beyond the P int32 ids — the
 # reference's scatter, src/blur_profile.c:87-100, is O(1) too).  The
-# Pallas TPU path always uses flat ids and never pays the table.
-_PAD_TABLE_MAX_BYTES = int(float(__import__("os").environ.get(
-    "PHOTOHIVE_POLAR_TABLE_MB", "24")) * 1e6)
+# Pallas TPU path always uses flat ids and never pays the table.  The
+# budget is platform-aware: the blowup matters in HBM (TPU, where the XLA
+# path only runs under PHOTOHIVE_NO_PALLAS), not host RAM — and on CPU
+# the gather is several times faster than the one-hot contraction, so
+# hosts keep the table until it is genuinely large.
+def _pad_table_budget() -> int:
+    import os
+
+    env = os.environ.get("PHOTOHIVE_POLAR_TABLE_MB")
+    if env:
+        return int(float(env) * 1e6)
+    import jax
+
+    on_host = jax.default_backend() in ("cpu", "gpu", "cuda", "rocm",
+                                        "METAL")
+    return 256_000_000 if on_host else 24_000_000
+
 
 _FLAT_CHUNK = 1 << 16
 
@@ -51,20 +65,23 @@ _FLAT_CHUNK = 1 << 16
 class PolarTables(NamedTuple):
     """Device-resident polar binning constants (see geometry.PolarGeometry).
 
-    ``pad_index`` is None for shapes whose gather table would exceed
-    _PAD_TABLE_MAX_BYTES; the XLA path then reduces via flat bin ids."""
+    ``pad_index`` is None for shapes whose gather table would exceed the
+    platform budget (_pad_table_budget); the XLA path then reduces via
+    flat bin ids."""
 
     pad_index: jnp.ndarray   # (A*R, Lmax) int32 (gather path, XLA/CPU) | None
     bin_counts: jnp.ndarray  # (A*R,) int32
     bin_ids: jnp.ndarray     # (H * fft_width,) int32 (Pallas / flat path)
 
     @classmethod
-    def for_shape(cls, height: int, width: int, cfg: ReportConfig)\
-            -> "PolarTables":
+    def for_shape(cls, height: int, width: int, cfg: ReportConfig,
+                  max_table_bytes: int = None) -> "PolarTables":
         geom = polar_geometry(height, width, cfg.angle_partitions,
                               cfg.radius_partitions)
+        budget = (max_table_bytes if max_table_bytes is not None
+                  else _pad_table_budget())
         pad = None
-        if geom.pad_index.size * 4 <= _PAD_TABLE_MAX_BYTES:
+        if geom.pad_index.size * 4 <= budget:
             pad = jnp.asarray(geom.pad_index)
         return cls(pad_index=pad,
                    bin_counts=jnp.asarray(geom.bin_counts),

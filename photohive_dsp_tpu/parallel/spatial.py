@@ -56,10 +56,13 @@ class ShardedPolarTables(NamedTuple):
 
 @functools.lru_cache(maxsize=16)
 def sharded_polar_tables(height: int, width: int, num_angle_bins: int,
-                         num_radius_bins: int, n_shards: int)\
+                         num_radius_bins: int, n_shards: int,
+                         max_table_bytes: int = None)\
         -> ShardedPolarTables:
-    from ..ops.blur import _PAD_TABLE_MAX_BYTES
+    from ..ops.blur import _pad_table_budget
 
+    if max_table_bytes is None:
+        max_table_bytes = _pad_table_budget()
     geom = polar_geometry(height, width, num_angle_bins, num_radius_bins)
     wf = geom.fft_width
     wc = -(-wf // n_shards)
@@ -90,7 +93,7 @@ def sharded_polar_tables(height: int, width: int, num_angle_bins: int,
     # Same memory-blowup routing as the single-chip tables (ops/blur.py
     # audit: the gather table is ~3.6x the spectrum): above the budget,
     # skip the table build entirely and reduce through flat ids.
-    flat_route = num_bins * l_max * n_shards * 4 > _PAD_TABLE_MAX_BYTES
+    flat_route = num_bins * l_max * n_shards * 4 > max_table_bytes
     if flat_route:
         pad = np.zeros((n_shards, 1, 1), dtype=np.int32)  # shard_map dummy
     else:
