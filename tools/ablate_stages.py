@@ -157,6 +157,46 @@ def main():
             else:
                 os.environ["PHOTOHIVE_PALETTE_KERNEL"] = orig
 
+    polar_route_ab(height, width, batch, cfg)
+
+
+def polar_route_ab(height, width, batch, cfg):
+    """Gather-table vs flat-ids polar reduction on the XLA path.
+
+    Grounds the _pad_table_budget() routing empirically (ops/blur.py
+    audit): the Pallas TPU path always uses flat ids, so this A/B is
+    about the PHOTOHIVE_NO_PALLAS fallback (and host backends, where the
+    measured gap was ~70x in favor of the gather at 4K on CPU).  Runs
+    the isolated blur chain — dc removal -> rfft2 mag^2 -> log normalize
+    -> polar bins — under each route; deltas of one program, so the
+    alternation overhead (CLAUDE.md) applies equally to both."""
+    from photohive_dsp_tpu.ops.blur import (PolarTables,
+                                            blur_profile_bins_batched)
+    from photohive_dsp_tpu.ops.fft import magnitude_fft_normalized
+
+    rng = np.random.default_rng(3)
+    pgm = jax.device_put(rng.random((batch, height, width), np.float32))
+    print(f"polar route A/B (XLA blur chain, {batch}x{height}x{width}):")
+    for route, budget in (("gather", 1 << 62), ("flat", 0)):
+        tables = PolarTables.for_shape(height, width, cfg,
+                                       max_table_bytes=budget)
+        tbytes = 0 if tables.pad_index is None else tables.pad_index.size * 4
+        fn = jax.jit(lambda p, t: blur_profile_bins_batched(
+            jax.vmap(magnitude_fft_normalized)(
+                p - jnp.mean(p, axis=(1, 2), keepdims=True)),
+            t, cfg.angle_partitions, cfg.radius_partitions,
+            use_pallas=False))
+        np.asarray(fn(pgm, tables))  # compile+run
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            np.asarray(fn(pgm, tables))
+            ts.append(time.perf_counter() - t0)
+        t = min(ts)
+        print(f"  {route:<7} {t*1000:7.1f} ms  "
+              f"({batch*height*width/1e6/t:6.1f} MP/s, table "
+              f"{tbytes/1e6:.1f} MB)")
+
 
 if __name__ == "__main__":
     main()

@@ -328,10 +328,116 @@ def run_hosts_e2e(n: int) -> dict:
     return r
 
 
+def run_eff2proc(n: int) -> dict:
+    """MEASURED 2-process scaling efficiency (not the byte-balance
+    projection): same corpus, same host, resources held proportional.
+
+    T1   = one process pinned to 2 cores streaming ALL n images.
+    T2   = two coordinator-joined processes pinned to DISJOINT 2-core
+           sets (cores 0-1 / 2-3), each streaming its num_hosts=2 half.
+    eff  = T1 / (2 * T2).  With zero cross-host state (no collectives —
+    see `hlo` mode) the loss terms are the straggler fraction of the
+    round-robin key partition plus per-process fixed costs (startup,
+    first-dispatch); both shrink with corpus size.
+
+    Core pinning is what makes the division honest on one physical host:
+    without it the single process would use all 4 cores and eff would
+    measure core contention, not scaling.  Requires >= 4 cores."""
+    import tempfile
+    import textwrap
+
+    ncores = os.cpu_count() or 1
+    if ncores < 4:
+        raise RuntimeError(f"need >=4 cores for pinned 2-proc eff, "
+                           f"have {ncores}")
+    workdir = tempfile.mkdtemp(prefix="ph_eff2_")
+    corpus_dir = os.path.join(workdir, "corpus")
+    make_corpus(corpus_dir, n)
+
+    worker = textwrap.dedent(f"""
+        import glob, sys, time
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
+        sys.path.insert(0, {REPO!r})
+        num_hosts = int(sys.argv[1]); pid = int(sys.argv[2])
+        out_dir = sys.argv[3]
+        if num_hosts > 1:
+            from photohive_dsp_tpu.parallel.mesh import (
+                initialize_distributed)
+            initialize_distributed(sys.argv[4], num_hosts, pid)
+        from photohive_dsp_tpu import ReportConfig
+        from photohive_dsp_tpu.utils.io import process_corpus
+        paths = sorted(glob.glob({corpus_dir!r} + '/*.png'))
+        t0 = time.perf_counter()
+        done = process_corpus(paths, out_dir, cfg=ReportConfig(),
+                              batch_size=32, num_hosts=num_hosts,
+                              host_id=pid, decode_workers=2)
+        print('HOST_DONE', pid, done,
+              round(time.perf_counter() - t0, 1), flush=True)
+    """)
+    wpath = os.path.join(workdir, "worker.py")
+    with open(wpath, "w") as f:
+        f.write(worker)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)
+
+    def timed(cmds) -> float:
+        t0 = time.perf_counter()
+        procs = [subprocess.Popen(c, env=env, stdout=subprocess.PIPE,
+                                  stderr=subprocess.PIPE, text=True)
+                 for c in cmds]
+        try:
+            outs = [p.communicate(timeout=7200) for p in procs]
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+                    p.wait()
+        for p, (_, err) in zip(procs, outs):
+            if p.returncode != 0:
+                raise RuntimeError(f"worker failed:\n{err[-2000:]}")
+        return time.perf_counter() - t0
+
+    # warm the persistent compile cache so neither arm pays first-compile
+    warm_dir = os.path.join(workdir, "warm")
+    timed([["taskset", "-c", "0,1", sys.executable, wpath, "1", "0",
+            warm_dir]])
+
+    out1 = os.path.join(workdir, "out1")
+    t1 = timed([["taskset", "-c", "0,1", sys.executable, wpath, "1", "0",
+                 out1]])
+    print(f"  1-proc (cores 0-1): {n} images in {t1:.0f}s")
+
+    import socket
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    out2 = os.path.join(workdir, "out2")
+    coord = f"localhost:{port}"
+    t2 = timed([["taskset", "-c", cores, sys.executable, wpath, "2",
+                 str(pid), out2, coord]
+                for pid, cores in ((0, "0,1"), (1, "2,3"))])
+    print(f"  2-proc (cores 0-1 / 2-3): {n} images in {t2:.0f}s")
+
+    import json as _json
+    keys = []
+    for pid in (0, 1):
+        with open(os.path.join(out2, f"reports.{pid}.jsonl")) as f:
+            keys.append({_json.loads(l)["key"] for l in f})
+    assert not keys[0] & keys[1] and len(keys[0] | keys[1]) == n
+    eff = t1 / (2.0 * t2)
+    r = dict(n_images=n, t1_wall_s=round(t1, 1), t2_wall_s=round(t2, 1),
+             measured_2proc_eff=round(eff, 4),
+             cores_per_proc=2, workdir=workdir)
+    print(f"  measured 2-proc efficiency: T1/(2*T2) = {t1:.0f}/(2*{t2:.0f})"
+          f" = {eff * 100:.1f}%  (>=85% target)")
+    return r
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("mode", choices=["curve", "hlo", "corpus", "hosts",
-                                     "hosts2e2e", "all"])
+                                     "hosts2e2e", "eff2proc", "all"])
     ap.add_argument("--n", type=int, default=2000,
                     help="corpus size for `corpus` mode")
     args = ap.parse_args()
@@ -349,6 +455,10 @@ def main() -> None:
     if args.mode in ("hosts2e2e",):
         print(f"== config #5 reduced-scale 2-process run ({args.n}) ==")
         results["hosts2e2e"] = run_hosts_e2e(args.n)
+    if args.mode in ("eff2proc",):
+        print(f"== measured 2-process efficiency, pinned cores "
+              f"({args.n}) ==")
+        results["eff2proc"] = run_eff2proc(args.n)
     if args.mode in ("corpus", "all"):
         print(f"== config #4 reduced-scale corpus ({args.n} images) ==")
         results["corpus"] = run_corpus(args.n)
