@@ -397,8 +397,8 @@ def palette_kernel_variant() -> str:
 def palette_sums_by_k_auto(hf: jnp.ndarray, sf: jnp.ndarray,
                            vf: jnp.ndarray,
                            assign: ParentAssignment, counts: jnp.ndarray,
-                           cfg: ReportConfig, tables: OctreeTables,
-                           force_wide: bool = False) -> jnp.ndarray:
+                           cfg: ReportConfig, tables: OctreeTables)\
+        -> jnp.ndarray:
     """Pallas palette pixel pass with automatic kernel-width selection.
 
     (B, P) flat pixels -> (B, C, 4) sums per valid-order slot.  q_pad is
@@ -408,9 +408,11 @@ def palette_sums_by_k_auto(hf: jnp.ndarray, sf: jnp.ndarray,
     never involves a *populated* cell on real images, so a narrow q=8
     kernel handles the common case and the full-width kernel is kept as
     the exact fallback, selected by one scalar lax.cond on the batch's
-    actual candidate counts.  Used by both the single-chip batched path
-    and the spatially-sharded body (B=1 per shard there, sums psum-merged
-    by the caller).
+    actual candidate counts.  Used by the single-chip batched path, the
+    single-image sharded body (B=1 per shard, sums psum-merged by the
+    caller), and the dp-spatial path (which defers this call to after
+    its per-image vmap so the cond predicate stays scalar — see
+    parallel/spatial.DeferredPalette).
 
     PHOTOHIVE_PALETTE_KERNEL=cwide selects the C-wide A/B variant
     (ops/pallas_kernels_cwide.py) instead — identical results, different
@@ -432,10 +434,7 @@ def palette_sums_by_k_auto(hf: jnp.ndarray, sf: jnp.ndarray,
             return pk.palette_sums_by_k(hf, sf, vf, luts, c, q_pad, cfg)
         return body
 
-    if q_full == q_small or force_wide:
-        # force_wide: a vmapped caller (the dp-spatial body) would batch
-        # the cond predicate, making vmap execute BOTH kernels and select
-        # — strictly worse than always running the full-width kernel.
+    if q_full == q_small:
         return run(q_full)(None)
     # Candidate count only matters for cells that hold pixels.
     ncand = jnp.sum(assign.allowed, axis=-1)           # (B, C)

@@ -337,6 +337,23 @@ def _sharded_blur_bins(pgm_local: jnp.ndarray, dc: jnp.ndarray,
     return means.reshape(cfg.angle_partitions, cfg.radius_partitions)
 
 
+class DeferredPalette(NamedTuple):
+    """Palette pixel-pass inputs a vmapped caller runs batched.
+
+    The q8/q40 kernel-width ``lax.cond`` needs a SCALAR predicate; under
+    the dp-spatial per-image vmap it would batch (executing both
+    kernels).  Deferring the pixel pass to after the vmap lets one
+    batched kernel call carry the whole local batch with a scalar
+    max-over-batch predicate — the same design as the single-chip
+    batched fast path (quantize.color_palette_batched)."""
+
+    h: jnp.ndarray        # (P_local,) hue, -1 sentinel on padded pixels
+    s: jnp.ndarray        # (P_local,)
+    v: jnp.ndarray        # (P_local,)
+    assign: quantize.ParentAssignment   # replicated across the axis
+    counts: jnp.ndarray   # (C,) psum-merged global cell counts
+
+
 def spatial_report_body(rgb_local: jnp.ndarray, down_local: jnp.ndarray,
                         boxes: jnp.ndarray,
                         boxes_valid: jnp.ndarray,
@@ -347,7 +364,7 @@ def spatial_report_body(rgb_local: jnp.ndarray, down_local: jnp.ndarray,
                         axis_name: str = SPATIAL_AXIS,
                         use_pallas: bool = False,
                         any_tiny=None,
-                        palette_force_wide: bool = False,
+                        defer_palette: bool = False,
                         polar_flat: bool = False) -> ReportData:
     """Per-shard body computing the full report for one row-sharded image.
 
@@ -365,7 +382,15 @@ def spatial_report_body(rgb_local: jnp.ndarray, down_local: jnp.ndarray,
     the replicated saliencies, the candidate-LUT palette pixel pass on
     each shard's local pixels (partial sums psum-merged), and the one-hot
     MXU polar binning on each shard's local spectrum.
+
+    With ``defer_palette`` (Pallas only) the palette pixel pass and
+    finalize are NOT run; the return is ``(ReportData-with-zeroed-palette,
+    DeferredPalette)`` and the caller runs the batched kernel + psum +
+    finalize itself (build_dp_spatial_report does, outside its vmap).
     """
+    if defer_palette and not use_pallas:
+        raise ValueError("defer_palette requires use_pallas (the XLA "
+                         "path has no kernel-width cond to hoist)")
     total = height * width
     n = jax.lax.psum(1, axis_name)                 # static axis size (int)
     rate = cfg.downsample_rate
@@ -430,14 +455,23 @@ def spatial_report_body(rgb_local: jnp.ndarray, down_local: jnp.ndarray,
         order = quantize.saliency_argsort(sal[None], True)[0]
         assign = quantize.parent_assignment_from_order(counts, order,
                                                        d_total, cfg, octree)
-        sums_k = quantize.palette_sums_by_k_auto(
-            h_pal.reshape(1, -1), s.reshape(1, -1), v.reshape(1, -1),
-            jax.tree.map(lambda x: x[None], assign),
-            counts[None], cfg, octree,
-            force_wide=palette_force_wide)[0]
-        sums_k = jax.lax.psum(sums_k, axis_name)
-        palette = quantize.palette_finalize_by_k(sums_k, assign, d_total,
-                                                 octree)
+        if defer_palette:
+            deferred = DeferredPalette(h=h_pal.reshape(-1),
+                                       s=s.reshape(-1), v=v.reshape(-1),
+                                       assign=assign, counts=counts)
+            c = cfg.num_cells
+            palette = quantize.PaletteResult(
+                hsv=jnp.zeros((c, 3)), percentages=jnp.zeros((c,)),
+                n_valid=jnp.zeros((), jnp.int32),
+                parent_ids=jnp.zeros((c,), jnp.int32))
+        else:
+            sums_k = quantize.palette_sums_by_k_auto(
+                h_pal.reshape(1, -1), s.reshape(1, -1), v.reshape(1, -1),
+                jax.tree.map(lambda x: x[None], assign),
+                counts[None], cfg, octree)[0]
+            sums_k = jax.lax.psum(sums_k, axis_name)
+            palette = quantize.palette_finalize_by_k(sums_k, assign,
+                                                     d_total, octree)
     else:
         counts = jax.lax.psum(quantize.cell_counts(cells, cfg.num_cells),
                               axis_name)
@@ -457,13 +491,16 @@ def spatial_report_body(rgb_local: jnp.ndarray, down_local: jnp.ndarray,
                               axis_name, use_pallas, polar_flat)
     angles, mags = vectorize_blur_profile(bins, cfg)
 
-    return ReportData(
+    data = ReportData(
         rgb_stats=stats, average_saturation=s_bar,
         palette_hsv=palette.hsv, palette_pct=palette.percentages,
         palette_n=palette.n_valid, palette_ids=palette.parent_ids,
         sharpness=sharp, blur_bins=bins,
         blur_vector_angles=angles, blur_vector_mags=mags,
     )
+    if defer_palette:
+        return data, deferred
+    return data
 
 
 @functools.lru_cache(maxsize=8)
@@ -554,16 +591,34 @@ def build_dp_spatial_report(mesh: Mesh, batch: int, height: int,
         any_tiny = jnp.any(tiny)
 
         def one(rgb_i, down_i, boxes_i, valid_i):
-            # palette_force_wide: the q8/q40 cond predicate would be
-            # batched under this vmap (both kernels would run); always
-            # using the full-width kernel is strictly cheaper.
+            # defer_palette (Pallas): the q8/q40 kernel-width cond needs
+            # a scalar predicate, which this vmap would batch (executing
+            # BOTH kernels per image); deferring runs ONE batched kernel
+            # call below with a max-over-batch scalar predicate — the
+            # single-chip batched design, and strictly cheaper than the
+            # old always-wide fallback for typical (narrow) images.
             return spatial_report_body(rgb_i, down_i, boxes_i, valid_i,
                                        pad_loc[0], ids_loc[0], octree_t,
                                        counts, tabs.wc, height, width, cfg,
                                        SPATIAL_AXIS, use_pallas, any_tiny,
-                                       palette_force_wide=True,
+                                       defer_palette=use_pallas,
                                        polar_flat=tabs.flat_route)
-        return jax.vmap(one)(rgb_loc, down_loc, boxes, valid)
+        if not use_pallas:
+            return jax.vmap(one)(rgb_loc, down_loc, boxes, valid)
+        data, pal = jax.vmap(one)(rgb_loc, down_loc, boxes, valid)
+        d_w = width // rate if rate > 1 else width
+        d_total = d_h * d_w
+        sums_k = quantize.palette_sums_by_k_auto(
+            pal.h, pal.s, pal.v, pal.assign, pal.counts, cfg, octree_t)
+        sums_k = jax.lax.psum(sums_k, SPATIAL_AXIS)
+        palette = jax.vmap(
+            lambda sk, a: quantize.palette_finalize_by_k(sk, a, d_total,
+                                                         octree_t)
+        )(sums_k, pal.assign)
+        return data._replace(palette_hsv=palette.hsv,
+                             palette_pct=palette.percentages,
+                             palette_n=palette.n_valid,
+                             palette_ids=palette.parent_ids)
 
     shard_fn = jax.shard_map(
         body, mesh=mesh,

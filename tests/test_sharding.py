@@ -324,7 +324,9 @@ def test_spatial_pallas_full_body_interpret_smoke():
     img = structured_image(64, 64, seed=5)
     boxes, valid = ph.set_bounding_boxes([
         dict(top=8, bottom=40, left=8, right=40)])
-    m = meshlib.make_mesh(data=1, spatial=8)
+    # 4-device sub-mesh: the 8-way rendezvous aborts intermittently on
+    # this 4-core host even alone; 4-way fits the window reliably.
+    m = meshlib.make_mesh(data=1, spatial=4, devices=jax.devices()[:4])
     fn_xla = build_spatial_report(m, 64, 64, CFG, use_pallas=False)
     ours_xla = fn_xla(jnp.asarray(img, jnp.float32), jnp.asarray(boxes),
                       jnp.asarray(valid))
@@ -341,3 +343,46 @@ def test_spatial_pallas_full_body_interpret_smoke():
                   np.asarray(ours_pal.blur_bins)) > 120
     np.testing.assert_array_equal(np.asarray(ours_pal.sharpness),
                                   np.asarray(ours_xla.sharpness))
+
+
+def test_dp_spatial_pallas_deferred_palette_interpret_smoke():
+    """dp-spatial Pallas path in interpret mode — opt-in
+    (PHOTOHIVE_SPMD_INTERPRET=1), same rendezvous caveat as above.
+
+    Exercises the deferred-palette restructure: the palette pixel pass
+    runs ONCE per local batch outside the per-image vmap with a scalar
+    q8/q40 predicate (parallel/spatial.DeferredPalette), and must match
+    the XLA dp-spatial path exactly on ids/pct/n."""
+    import os
+
+    if not os.environ.get("PHOTOHIVE_SPMD_INTERPRET"):
+        pytest.skip("opt-in: interpret-mode SPMD can abort the process")
+    from jax.experimental.pallas import tpu as pltpu
+
+    imgs = np.stack([structured_image(64, 64, seed=s)
+                     for s in (3, 9, 11, 17)])
+    boxes, valid = ph.set_bounding_boxes([
+        dict(top=8, bottom=40, left=8, right=40)])
+    bb = jnp.broadcast_to(jnp.asarray(boxes), (4, 10, 4))
+    bv = jnp.broadcast_to(jnp.asarray(valid), (4, 10))
+    # data=2 with batch 4 -> B_local=2: the deferred kernel call sees a
+    # real local batch, not a degenerate B=1.  spatial=2 on a 4-device
+    # sub-mesh keeps the interpret-mode rendezvous fan-in small (the 8-way
+    # version trips XLA:CPU's 40 s collective abort under callback skew).
+    m = meshlib.make_mesh(data=2, spatial=2, devices=jax.devices()[:4])
+    fn_xla = build_dp_spatial_report(m, 4, 64, 64, CFG, use_pallas=False)
+    ref = fn_xla(jnp.asarray(imgs, jnp.float32), bb, bv)
+    with pltpu.force_tpu_interpret_mode():
+        fn_pal = build_dp_spatial_report(m, 4, 64, 64, CFG,
+                                         use_pallas=True)
+        ours = fn_pal(jnp.asarray(imgs, jnp.float32), bb, bv)
+    for i in range(4):
+        assert int(ours.palette_n[i]) == int(ref.palette_n[i])
+        np.testing.assert_array_equal(np.asarray(ours.palette_ids[i]),
+                                      np.asarray(ref.palette_ids[i]))
+        np.testing.assert_array_equal(np.asarray(ours.palette_pct[i]),
+                                      np.asarray(ref.palette_pct[i]))
+        n = int(ref.palette_n[i])
+        np.testing.assert_allclose(np.asarray(ours.palette_hsv[i])[:n],
+                                   np.asarray(ref.palette_hsv[i])[:n],
+                                   rtol=1e-4, atol=1e-3)
