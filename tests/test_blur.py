@@ -155,3 +155,14 @@ def test_polar_table_memory_routing():
                                     CFG.radius_partitions, 2,
                                     max_table_bytes=tpu_budget)
     assert not st_small.flat_route
+
+
+def test_polar_table_budget_env_override(monkeypatch):
+    """PHOTOHIVE_POLAR_TABLE_MB overrides the platform default budget."""
+    monkeypatch.setenv("PHOTOHIVE_POLAR_TABLE_MB", "0.05")
+    assert blur._pad_table_budget() == 50_000
+    t = blur.PolarTables.for_shape(480, 640, CFG)
+    assert t.pad_index is None  # 0.05 MB forces the flat route
+    monkeypatch.delenv("PHOTOHIVE_POLAR_TABLE_MB")
+    # host default (CPU test env) keeps the table at this shape
+    assert blur.PolarTables.for_shape(480, 640, CFG).pad_index is not None

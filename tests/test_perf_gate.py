@@ -74,3 +74,33 @@ def test_warm_latency_ceiling():
         jax.block_until_ready(out)
     per_iter = (time.perf_counter() - t0) / 3
     assert per_iter < WARM_ITER_MAX_S, f"warm iter {per_iter:.2f}s"
+
+
+def test_dp_spatial_collective_census():
+    """Pin the collective count of the compiled dp-spatial executable.
+
+    The spatial axis legitimately needs collectives (psum reductions,
+    1-row ppermute halos, the all_to_all FFT transpose, pmax for the
+    spectrum norm); the data axis needs ZERO.  A regression that, e.g.,
+    un-hoists a reduction into the per-image vmap or adds a reshard
+    would show up here as a count jump long before it is measurable on
+    hardware.  Measured at this pin: 28 collectives (XLA path, 2x2 mesh,
+    batch 4 at 128x96: 20 all-reduce, 4 all-to-all, 4 collective-permute,
+    0 all-gather/reduce-scatter).  Bound carries headroom for
+    jax-version drift; a deliberate comm change must update it in the
+    same commit."""
+    from photohive_dsp_tpu.parallel import mesh as meshlib
+    from photohive_dsp_tpu.parallel.spatial import build_dp_spatial_report
+
+    m = meshlib.make_mesh(data=2, spatial=2, devices=jax.devices()[:4])
+    cfg = ReportConfig()
+    fn = build_dp_spatial_report(m, 4, 128, 96, cfg, use_pallas=False)
+    rgb = jnp.zeros((4, 3, 128, 96), jnp.float32)
+    boxes = jnp.zeros((4, 10, 4), jnp.int32)
+    valid = jnp.zeros((4, 10), bool)
+    hlo = fn.lower(rgb, boxes, valid).compile().as_text()
+    colls = ("all-reduce", "all-gather", "all-to-all",
+             "collective-permute", "reduce-scatter")
+    counts = {c: hlo.count(c) for c in colls}
+    total = sum(counts.values())
+    assert total <= 34, (total, counts)
