@@ -1,0 +1,106 @@
+"""AOT serving artifacts: serialized, version-pinned report executables.
+
+The reference ships a shared library whose ABI pins its behavior
+(photohive_dsp's compiled .so, loaded via ctypes in lib.py); the
+TPU-native analogue of a deployable compute artifact is a serialized
+``jax.export`` module — the full batched report program captured as
+StableHLO, with the shape/config-static tables embedded as constants.
+A serving process can then run the exact bytes that were validated,
+independent of the Python code drifting underneath it, and the artifact
+survives jax minor-version upgrades under StableHLO's compatibility
+guarantees.
+
+Workflow:
+    blob = export_report(1080, 1920, cfg, batch_size=16)   # bytes
+    Path("report_1080p.jaxexport").write_bytes(blob)
+    ...
+    fn = load_report(blob)          # (u8 BHW3, boxes, valid) -> ReportData
+    data = fn(u8_batch, boxes, valid)
+
+The exported calling convention is the uint8 serving entry (the same
+one models/batch uses): device-resident (B, H, W, 3) uint8 plus the
+(B, 10, 4)/(B, 10) crop-box tensors.  Tables are embedded, so the
+artifact is self-contained.
+
+Determinism contract: a given artifact always produces identical
+outputs for identical inputs.  Between an artifact and the *live* jit
+(or between artifacts exported under different jax/XLA versions),
+fusion/FMA-contraction differences can round f32 at the last ulp,
+which may hop pixels sitting exactly on an HSV quantization-cell
+boundary and swap near-tied saliency pairs — the validated artifact,
+not the live code, is the serving source of truth
+(tests/test_serving.py pins the drift bound).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Union
+
+import jax
+import jax.numpy as jnp
+
+from .config import MAX_CROP_BOXES, ReportConfig
+from .models.pipeline import ReportData, ReportTables, full_report_batched
+
+_REGISTERED = False
+
+
+def _register_serialization() -> None:
+    """ReportData is a NamedTuple; jax.export needs its pytree
+    registered once per process to serialize the output tree."""
+    global _REGISTERED
+    if _REGISTERED:
+        return
+    try:
+        jax.export.register_namedtuple_serialization(
+            ReportData, serialized_name="photohive_dsp_tpu.ReportData")
+    except ValueError:
+        pass  # already registered (e.g. by a parallel import path)
+    _REGISTERED = True
+
+
+def export_report(height: int, width: int,
+                  cfg: ReportConfig | None = None, *,
+                  batch_size: int = 16,
+                  use_pallas: bool | None = None) -> bytes:
+    """Serialize the batched uint8 report program for one (H, W, config).
+
+    ``use_pallas`` defaults to the current backend's fast-path choice
+    (models/batch._want_pallas); pass False to export the pure-XLA
+    program (portable across platforms, the PHOTOHIVE_NO_PALLAS
+    semantics).  Returns the serialized artifact bytes.
+    """
+    from .models.batch import _want_pallas
+
+    cfg = cfg or ReportConfig()
+    cfg.validate()
+    if use_pallas is None:
+        use_pallas = _want_pallas()
+    _register_serialization()
+    tables = ReportTables.build(height, width, cfg)
+
+    @jax.jit
+    def fn(u8, boxes, valid):
+        rgb = jnp.moveaxis(u8, -1, 1).astype(jnp.float32) / 255.0
+        return full_report_batched(rgb, boxes, valid, tables, cfg,
+                                   use_pallas)
+
+    args = (jax.ShapeDtypeStruct((batch_size, height, width, 3),
+                                 jnp.uint8),
+            jax.ShapeDtypeStruct((batch_size, MAX_CROP_BOXES, 4),
+                                 jnp.int32),
+            jax.ShapeDtypeStruct((batch_size, MAX_CROP_BOXES), jnp.bool_))
+    exported = jax.export.export(fn)(*args)
+    return exported.serialize()
+
+
+def load_report(blob: Union[bytes, bytearray]) -> Callable:
+    """Rehydrate an export_report artifact into a callable.
+
+    The callable takes (u8 (B,H,W,3), boxes (B,10,4) int32,
+    valid (B,10) bool) with exactly the exported batch/shape and returns
+    a ReportData (leading batch dim).  Wrap in jax.jit implicitly — the
+    deserialized module recompiles once for the local devices."""
+    _register_serialization()
+    exported = jax.export.deserialize(bytes(blob))
+    return jax.jit(exported.call)
