@@ -225,4 +225,15 @@ def variance_sharpness_batched(pgm: jnp.ndarray, boxes: jnp.ndarray,
 
     thin = boxes_valid & ((boxes[..., 1] - boxes[..., 0] < TINY_BOX_PX)
                           | (boxes[..., 3] - boxes[..., 2] < TINY_BOX_PX))
-    return jax.lax.cond(jnp.any(thin), masked, fast, None)
+
+    def have_boxes(_):
+        return jax.lax.cond(jnp.any(thin), masked, fast, None)
+
+    # No valid box in the whole batch -> skip the stage entirely (the
+    # reference does: sharpness costs ~3 us without boxes, README.md:69,
+    # src/interface.c crop loop over zero boxes).  This is the common
+    # bulk-corpus configuration; the Laplacian + box GEMMs are the
+    # second-largest non-palette cost, all dead work then.
+    return jax.lax.cond(jnp.any(boxes_valid), have_boxes,
+                        lambda _: jnp.zeros(boxes_valid.shape, pgm.dtype),
+                        None)

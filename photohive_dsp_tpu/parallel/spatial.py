@@ -126,7 +126,32 @@ def _halo_rows(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
 
 def _sharded_sharpness(pgm_local: jnp.ndarray, boxes: jnp.ndarray,
                        boxes_valid: jnp.ndarray, row_offset: jnp.ndarray,
-                       axis_name: str, any_tiny=None) -> jnp.ndarray:
+                       axis_name: str, any_tiny=None,
+                       any_valid=None) -> jnp.ndarray:
+    """No-box gate around _sharded_sharpness_impl.
+
+    With zero valid boxes the whole stage (halo exchange, Laplacian,
+    box GEMMs, ring corrections) is dead work; the reference skips it
+    (README.md:69: ~3 us).  ``any_valid`` lets a vmapped caller pass a
+    batch-level predicate computed outside the vmap (a batched cond
+    predicate would execute both branches — same design as
+    ``any_tiny``).  The predicate is replicated across the spatial axis
+    (boxes are), so every shard branches identically and the collectives
+    inside the compute branch stay matched."""
+    if any_valid is None:
+        any_valid = jnp.any(boxes_valid)
+    return jax.lax.cond(
+        any_valid,
+        lambda _: _sharded_sharpness_impl(pgm_local, boxes, boxes_valid,
+                                          row_offset, axis_name, any_tiny),
+        lambda _: jnp.zeros(boxes_valid.shape, pgm_local.dtype),
+        None)
+
+
+def _sharded_sharpness_impl(pgm_local: jnp.ndarray, boxes: jnp.ndarray,
+                            boxes_valid: jnp.ndarray,
+                            row_offset: jnp.ndarray,
+                            axis_name: str, any_tiny=None) -> jnp.ndarray:
     """Crop sharpness with boxes spanning shards — the fast formulation.
 
     ONE shared halo-exchanged Laplacian pass per shard (not one masked
@@ -364,6 +389,7 @@ def spatial_report_body(rgb_local: jnp.ndarray, down_local: jnp.ndarray,
                         axis_name: str = SPATIAL_AXIS,
                         use_pallas: bool = False,
                         any_tiny=None,
+                        any_valid=None,
                         defer_palette: bool = False,
                         polar_flat: bool = False) -> ReportData:
     """Per-shard body computing the full report for one row-sharded image.
@@ -483,7 +509,7 @@ def spatial_report_body(rgb_local: jnp.ndarray, down_local: jnp.ndarray,
         palette = quantize.palette_finalize(sums, assign, d_total, octree)
 
     sharp = _sharded_sharpness(pgm, boxes, boxes_valid, row_offset,
-                               axis_name, any_tiny)
+                               axis_name, any_tiny, any_valid)
 
     dc = (stats[0] + stats[1] + stats[2]) / 3.0
     bins = _sharded_blur_bins(pgm, dc, pad_index_local, flat_ids_local,
@@ -589,6 +615,7 @@ def build_dp_spatial_report(mesh: Mesh, batch: int, height: int,
             ((boxes[..., 1] - boxes[..., 0]) < _TINY_BOX_PX)
             | ((boxes[..., 3] - boxes[..., 2]) < _TINY_BOX_PX))
         any_tiny = jnp.any(tiny)
+        any_valid = jnp.any(valid)
 
         def one(rgb_i, down_i, boxes_i, valid_i):
             # defer_palette (Pallas): the q8/q40 kernel-width cond needs
@@ -601,6 +628,7 @@ def build_dp_spatial_report(mesh: Mesh, batch: int, height: int,
                                        pad_loc[0], ids_loc[0], octree_t,
                                        counts, tabs.wc, height, width, cfg,
                                        SPATIAL_AXIS, use_pallas, any_tiny,
+                                       any_valid,
                                        defer_palette=use_pallas,
                                        polar_flat=tabs.flat_route)
         if not use_pallas:
