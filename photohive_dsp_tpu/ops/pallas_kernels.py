@@ -334,19 +334,12 @@ def palette_candidate_lut(assign, tables, num_cells: int,
     the hue offset is recomputed in-kernel as 180 - center_hue, the same
     f32 subtraction the XLA path applies to the same center value.
     """
+    from .quantize import candidate_slots
+
     c = num_cells
     order = assign.order
     centers_by_k = tables.centers[order].astype(jnp.float32)   # (C, 3)
-    iota_k = jnp.arange(c, dtype=jnp.int32)
-    big = jnp.int32(1 << 30)
-    # First q_pad allowed slots per cell in ascending k: top_k of -k.
-    score = jnp.where(assign.allowed, -iota_k[None, :], -big)  # (C, C)
-    take = min(q_pad, c)
-    vals, _ = jax.lax.top_k(score, take)                       # (C, take)
-    cand_k = jnp.where(vals > -big, -vals, c)                  # ascending k
-    if q_pad > take:
-        cand_k = jnp.concatenate(
-            [cand_k, jnp.full((c, q_pad - take), c, cand_k.dtype)], axis=1)
+    cand_k = candidate_slots(assign, c, q_pad)                 # ascending k
     safe = jnp.minimum(cand_k, c - 1)
     real = (cand_k < c).astype(jnp.float32)                    # (C, q_pad)
     quantities = [
@@ -421,8 +414,9 @@ def _palette_kernel(h_ref, s_ref, v_ref, lut_ref, out_ref, *,
         ch = lu[3 * q:4 * q] + lu[4 * q:5 * q] + lu[5 * q:6 * q]
         cs = lu[6 * q:7 * q] + lu[7 * q:8 * q] + lu[8 * q:9 * q]
         cv = lu[9 * q:10 * q] + lu[10 * q:11 * q] + lu[11 * q:12 * q]
-        # Distance to each candidate; identical f32 ops to the XLA path's
-        # _pixel_parent_distance, so ties break bit-identically.
+        # Distance to each candidate; identical f32 ops to the XLA
+        # pixel pass (quantize.palette_pixel_sums), so ties break
+        # bit-identically.
         hd = jnp.abs(hrow - ch)                           # (q, CHUNK)
         hd = jnp.where(hd > 180.0, 360.0 - hd, hd) * jnp.float32(1 / 360.0)
         sd = srow - cs

@@ -14,7 +14,7 @@ pinned in tests/test_pallas_interpret.py either way.
 
 Tie semantics are identical to the XLA path (reference
 src/color_quantization.c:376-451): distances use the exact f32 op sequence
-of quantize._pixel_parent_distance, candidates are masked by the pixel's
+of the XLA pixel-pass distance (quantize.palette_pixel_sums), candidates are masked by the pixel's
 ``allowed`` row, and the first minimum in valid (saliency) order wins.
 Both GEMMs are exact in a single DEFAULT-precision bf16 pass: the gather
 contracts 0/1 against 0/1 with at most one nonzero term per output, and
@@ -63,8 +63,9 @@ def _palette_kernel_cwide(h_ref, s_ref, v_ref, allowedT_ref,
         mask = jax.lax.dot_general(
             allowedT_ref[0], oh_c, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)           # (C, CHUNK)
-        # Distance to every valid-order center; identical f32 ops to
-        # _pixel_parent_distance so ties break bit-identically.
+        # Distance to every valid-order center; identical f32 ops to the XLA
+        # pixel pass (quantize.palette_pixel_sums) so ties break
+        # bit-identically.
         hd = jnp.abs(hrow - ch)                           # (C, CHUNK)
         hd = jnp.where(hd > 180.0, 360.0 - hd, hd) * jnp.float32(1 / 360.0)
         sd = srow - cs

@@ -101,15 +101,23 @@ def assign_cells(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray,
 
 
 def cell_counts(cells: jnp.ndarray, num_cells: int) -> jnp.ndarray:
-    """Pixel count per cell, int32, via a fused compare-reduce.
+    """Pixel count per cell, int32.  Results are backend-identical
+    (exact integer adds in any order); the lowering is routed:
 
-    Scatter-free: XLA fuses the (P, C) broadcasted comparison into the
-    reduction.  Used on EVERY path (CPU, TPU fused pipeline, sharded
-    bodies) — inside the fused program it measured ~2x faster than the
-    Pallas one-hot histogram kernel, which remains available as
-    pallas_kernels.cell_counts_batched.
+    * hosts (cpu/gpu): scatter-add — O(P), lowers to a tight loop.  The
+      TPU compare-reduce formulation measured ~40x slower here (684 ms
+      for 4x720p: the (P, C) broadcast materializes on the VPU-less CPU).
+    * TPU: fused (P, C) one-hot compare-reduce — scatters serialize on
+      TPU; inside the fused program this measured ~2x faster than even
+      the Pallas one-hot histogram kernel (still available as
+      pallas_kernels.cell_counts_batched).
     """
     flat = cells.reshape(-1)
+    if jax.default_backend() in ("cpu", "gpu", "cuda", "rocm", "METAL"):
+        # sentinel cells (== num_cells, padded pixels) land in the extra
+        # trailing bucket and are dropped, like the iota mismatch below.
+        return jnp.zeros((num_cells + 1,), jnp.int32).at[
+            jnp.minimum(flat, num_cells)].add(1)[:num_cells]
     pad = (-flat.size) % 128
     if pad:
         flat = jnp.concatenate(
@@ -207,14 +215,31 @@ def select_valid_parents(counts: jnp.ndarray, order: jnp.ndarray,
     return n_valid, valid_mask_sorted
 
 
-def _pixel_parent_distance(h, s, v, centers):
-    """Intended per-pixel distance (reference :303-311): hue-wrapped
-    normalized Euclidean^2 in (h/360, s, v) space."""
-    hd = jnp.abs(h[:, None] - centers[None, :, 0])
-    hd = jnp.where(hd > 180.0, 360.0 - hd, hd) * jnp.float32(1.0 / 360.0)
-    sd = s[:, None] - centers[None, :, 1]
-    vd = v[:, None] - centers[None, :, 2]
-    return hd * hd + sd * sd + vd * vd
+def candidate_slots(assign: "ParentAssignment", num_cells: int,
+                    q_pad: int) -> jnp.ndarray:
+    """(C, q_pad) int32: each cell's parent-candidate slots in ascending
+    valid order, sentinel ``num_cells`` in unused entries.
+
+    A cell's candidates are exactly its row of ``assign.allowed`` — one
+    entry for untied cells (their unique parent), the tied set otherwise
+    — so first-minimum-distance over this list in ascending k IS the
+    reference's tie rule (src/color_quantization.c:376-451) and
+    degenerates to the unique parent when there is one candidate.
+    ``q_pad`` (static, from geometry.max_tie_candidates) bounds the
+    count: tied candidates share one distance-rank value, so no cell
+    exceeds the largest equal-rank group.  Shared by the Pallas LUT
+    builder and the XLA pixel pass."""
+    c = num_cells
+    iota_k = jnp.arange(c, dtype=jnp.int32)
+    big = jnp.int32(1 << 30)
+    score = jnp.where(assign.allowed, -iota_k[None, :], -big)  # (C, C)
+    take = min(q_pad, c)
+    vals, _ = jax.lax.top_k(score, take)                       # (C, take)
+    cand_k = jnp.where(vals > -big, -vals, c)                  # ascending k
+    if q_pad > take:
+        cand_k = jnp.concatenate(
+            [cand_k, jnp.full((c, q_pad - take), c, cand_k.dtype)], axis=1)
+    return cand_k
 
 
 class ParentAssignment(NamedTuple):
@@ -294,6 +319,17 @@ def palette_pixel_sums(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray,
     order = assign.order
     centers_by_k = tables.centers[order]          # (C, 3) in valid order
     offsets = 180.0 - tables.centers[:, 0]        # (C,) per parent cell id
+    # Candidate-LUT tie-break (the Pallas kernels' formulation, shared
+    # table): gather each pixel's <= q_pad candidates instead of scoring
+    # all C parents — the (chunk, C) distance matrix was the XLA path's
+    # dominant cost (~1300 flops/px at C=112 vs ~100 at q_pad=8).  The
+    # selected parent is identical: candidates are the allowed set in
+    # ascending valid order, argmin takes the first minimum, and for
+    # untied cells the single candidate IS parent_of_cell.
+    q_pad = max(8, -(-octree_geometry(cfg).max_tie_candidates // 8) * 8)
+    cand_k = candidate_slots(assign, c, q_pad)     # (C, q_pad), sentinel c
+    _host_backend = jax.default_backend() in ("cpu", "gpu", "cuda", "rocm",
+                                              "METAL")
 
     p = hf.shape[0]
     pad = (-p) % _CHUNK
@@ -309,21 +345,33 @@ def palette_pixel_sums(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray,
         hc, sc, vc, cellc = chunk
         in_image = cellc < c
         cell_safe = jnp.minimum(cellc, c - 1)
-        # Tie-break: distance to every parent slot (in valid order), masked
-        # to the allowed set of this pixel's cell; first minimum wins, which
-        # matches the C loop over closest_parents in valid_parents order.
-        d = _pixel_parent_distance(hc, sc, vc, centers_by_k)   # (chunk, C)
-        allow_p = assign.allowed[cell_safe]                     # (chunk, C)
-        d_masked = jnp.where(allow_p, d, jnp.float32(np.inf))
-        tie_parent = order[jnp.argmin(d_masked, axis=1)]
-        parent = jnp.where(assign.cell_tied[cell_safe], tie_parent,
-                           assign.parent_of_cell[cell_safe])
+        cand_p = cand_k[cell_safe]                          # (chunk, q_pad)
+        ctr = centers_by_k[jnp.minimum(cand_p, c - 1)]      # (chunk, q, 3)
+        hd = jnp.abs(hc[:, None] - ctr[..., 0])
+        hd = jnp.where(hd > 180.0, 360.0 - hd, hd) * jnp.float32(1.0 / 360.0)
+        sd = sc[:, None] - ctr[..., 1]
+        vd = vc[:, None] - ctr[..., 2]
+        d = hd * hd + sd * sd + vd * vd
+        d_masked = jnp.where(cand_p < c, d, jnp.float32(np.inf))
+        sel = jnp.argmin(d_masked, axis=1)                  # first min = tie rule
+        slot = jnp.take_along_axis(cand_p, sel[:, None], axis=1)[:, 0]
+        parent = order[jnp.minimum(slot, c - 1)]
         off = offsets[parent]
         temp = hc + off
         temp = jnp.where(temp > 360.0, temp - 360.0,
                          jnp.where(temp < 0.0, temp + 360.0, temp))
         w = in_image.astype(jnp.float32)
         vals = jnp.stack([temp * w, sc * w, vc * w, w], axis=1)  # (chunk, 4)
+        if _host_backend:
+            # Hosts: scatter-add (segment_sum) — O(chunk) work where the
+            # one-hot GEMM is O(chunk*C); XLA:CPU lowers it to a tight
+            # scatter loop.  Kept off TPU, where scatters serialize and
+            # the MXU eats the one-hot contraction for free.  Summation
+            # ORDER differs from the GEMM (both are f32-ulp-level
+            # reorderings of the same addends; counts stay exact ints).
+            seg = jnp.where(in_image, parent, c)
+            return acc + jax.ops.segment_sum(vals, seg,
+                                             num_segments=c + 1)[:c], None
         onehot = ((parent[:, None] == iota_c[None, :]) & in_image[:, None]
                   ).astype(jnp.float32)
         return acc + jnp.dot(onehot.T, vals,
