@@ -304,12 +304,17 @@ def parent_assignment_from_order(counts: jnp.ndarray, order: jnp.ndarray,
 
 def palette_pixel_sums(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray,
                        cells: jnp.ndarray, assign: ParentAssignment,
-                       cfg: ReportConfig, tables: OctreeTables)\
-        -> jnp.ndarray:
+                       cfg: ReportConfig, tables: OctreeTables,
+                       q_pad: int = None) -> jnp.ndarray:
     """Per-pixel parent resolution + palette sums: (C, 4) f32 of
     [sum wrapped-hue, sum s, sum v, count] per parent cell id.
 
     Local to a shard; partial sums combine with psum (exact per-bin adds).
+    ``q_pad`` narrows the candidate width (default: the config's static
+    worst case); callers may pass 8 when a batch-level predicate proves
+    no populated cell has more candidates (color_palette_batched's cond —
+    results are identical then, candidates past the real count are
+    sentinels).
     """
     c = cfg.num_cells
     hf = h.reshape(-1)
@@ -326,7 +331,9 @@ def palette_pixel_sums(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray,
     # selected parent is identical: candidates are the allowed set in
     # ascending valid order, argmin takes the first minimum, and for
     # untied cells the single candidate IS parent_of_cell.
-    q_pad = max(8, -(-octree_geometry(cfg).max_tie_candidates // 8) * 8)
+    if q_pad is None:
+        q_pad = max(8,
+                    -(-octree_geometry(cfg).max_tie_candidates // 8) * 8)
     cand_k = candidate_slots(assign, c, q_pad)     # (C, q_pad), sentinel c
     _host_backend = jax.default_backend() in ("cpu", "gpu", "cuda", "rocm",
                                               "METAL")
@@ -533,10 +540,29 @@ def color_palette_batched(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray,
         lambda cnt, o: parent_assignment_from_order(cnt, o, total_pixels,
                                                     cfg, tables)
     )(counts, order)
-    sums = jax.vmap(
-        lambda hh, ss, vv, cc2, a: palette_pixel_sums(hh, ss, vv, cc2, a,
-                                                      cfg, tables)
-    )(h, s, v, cells, assign)
+    # Batch-level narrow/wide candidate width, the XLA counterpart of
+    # palette_sums_by_k_auto's scalar q8/q40 cond: most images have no
+    # populated cell with more than 8 tie candidates, and the narrow
+    # width runs ~q_full/8 x less distance + gather work per pixel.
+    # Identical results on the taken branch (extra candidates are
+    # sentinels for every populated cell).  The cond predicate is scalar
+    # because this runs at batch level, outside any vmap.
+    q_full = max(8, -(-octree_geometry(cfg).max_tie_candidates // 8) * 8)
+
+    def run(qp):
+        def body(_):
+            return jax.vmap(
+                lambda hh, ss, vv, cc2, a: palette_pixel_sums(
+                    hh, ss, vv, cc2, a, cfg, tables, q_pad=qp)
+            )(h, s, v, cells, assign)
+        return body
+
+    if q_full == 8:
+        sums = run(8)(None)
+    else:
+        ncand = jnp.sum(assign.allowed, axis=-1)             # (B, C)
+        q_needed = jnp.max(jnp.where(counts > 0, ncand, 0))
+        sums = jax.lax.cond(q_needed <= 8, run(8), run(q_full), None)
     return jax.vmap(
         lambda sm, a: palette_finalize(sm, a, total_pixels, tables)
     )(sums, assign)

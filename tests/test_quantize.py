@@ -154,3 +154,33 @@ def test_saliency_argsort_big_c_routes_to_fori_loop():
             order[j - 1], order[j] = order[j], order[j - 1]
             j -= 1
     np.testing.assert_array_equal(ours, np.array(order))
+
+
+def test_pixel_sums_narrow_wide_equivalence():
+    """The batched XLA q8/q40 cond (color_palette_batched): when no
+    populated cell has more than 8 candidates, the narrow q_pad=8 pass
+    must produce bit-identical sums to the full-width default (extra
+    candidate slots are sentinels for every populated cell)."""
+    import jax
+
+    cfg = ReportConfig()
+    tables = quantize.OctreeTables.for_config(cfg)
+    c = cfg.num_cells
+    rng = np.random.default_rng(3)
+    h = jnp.asarray(rng.random((1, 48, 64)) * 360, jnp.float32)
+    s = jnp.asarray(rng.random((1, 48, 64)) * 0.999, jnp.float32)
+    v = jnp.asarray(rng.random((1, 48, 64)) * 0.999, jnp.float32)
+    cells = jax.vmap(lambda a, b2, c2: quantize.assign_cells(
+        a, b2, c2, cfg))(h, s, v).reshape(1, -1)
+    counts = jax.vmap(lambda x: quantize.cell_counts(x, c))(cells)
+    assign = jax.vmap(lambda cnt: quantize.parent_assignment(
+        cnt, 48 * 64, cfg, tables))(counts)
+    ncand = jnp.sum(assign.allowed, axis=-1)
+    q_needed = int(jnp.max(jnp.where(counts > 0, ncand, 0)))
+    assert q_needed <= 8, "fixture must exercise the narrow predicate"
+    args = (h, s, v, cells, assign)
+    narrow = jax.vmap(lambda hh, ss, vv, cc2, a: quantize.palette_pixel_sums(
+        hh, ss, vv, cc2, a, cfg, tables, q_pad=8))(*args)
+    wide = jax.vmap(lambda hh, ss, vv, cc2, a: quantize.palette_pixel_sums(
+        hh, ss, vv, cc2, a, cfg, tables))(*args)
+    np.testing.assert_array_equal(np.asarray(narrow), np.asarray(wide))
