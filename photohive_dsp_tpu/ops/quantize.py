@@ -348,21 +348,29 @@ def palette_pixel_sums(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray,
     n_chunks = hf.shape[0] // _CHUNK
     iota_c = jnp.arange(c, dtype=jnp.int32)
 
+    # Per-cell parent for the q_pad == 1 tier: when no populated cell is
+    # tied, every pixel's parent is a pure cell lookup — no distances.
+    parent_of_slot0 = order[jnp.minimum(cand_k[:, 0], c - 1)]    # (C,)
+
     def body(acc, chunk):
         hc, sc, vc, cellc = chunk
         in_image = cellc < c
         cell_safe = jnp.minimum(cellc, c - 1)
-        cand_p = cand_k[cell_safe]                          # (chunk, q_pad)
-        ctr = centers_by_k[jnp.minimum(cand_p, c - 1)]      # (chunk, q, 3)
-        hd = jnp.abs(hc[:, None] - ctr[..., 0])
-        hd = jnp.where(hd > 180.0, 360.0 - hd, hd) * jnp.float32(1.0 / 360.0)
-        sd = sc[:, None] - ctr[..., 1]
-        vd = vc[:, None] - ctr[..., 2]
-        d = hd * hd + sd * sd + vd * vd
-        d_masked = jnp.where(cand_p < c, d, jnp.float32(np.inf))
-        sel = jnp.argmin(d_masked, axis=1)                  # first min = tie rule
-        slot = jnp.take_along_axis(cand_p, sel[:, None], axis=1)[:, 0]
-        parent = order[jnp.minimum(slot, c - 1)]
+        if q_pad == 1:
+            parent = parent_of_slot0[cell_safe]
+        else:
+            cand_p = cand_k[cell_safe]                      # (chunk, q_pad)
+            ctr = centers_by_k[jnp.minimum(cand_p, c - 1)]  # (chunk, q, 3)
+            hd = jnp.abs(hc[:, None] - ctr[..., 0])
+            hd = jnp.where(hd > 180.0, 360.0 - hd,
+                           hd) * jnp.float32(1.0 / 360.0)
+            sd = sc[:, None] - ctr[..., 1]
+            vd = vc[:, None] - ctr[..., 2]
+            d = hd * hd + sd * sd + vd * vd
+            d_masked = jnp.where(cand_p < c, d, jnp.float32(np.inf))
+            sel = jnp.argmin(d_masked, axis=1)          # first min = tie rule
+            slot = jnp.take_along_axis(cand_p, sel[:, None], axis=1)[:, 0]
+            parent = order[jnp.minimum(slot, c - 1)]
         off = offsets[parent]
         temp = hc + off
         temp = jnp.where(temp > 360.0, temp - 360.0,
@@ -557,12 +565,15 @@ def color_palette_batched(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray,
             )(h, s, v, cells, assign)
         return body
 
-    if q_full == 8:
-        sums = run(8)(None)
-    else:
-        ncand = jnp.sum(assign.allowed, axis=-1)             # (B, C)
-        q_needed = jnp.max(jnp.where(counts > 0, ncand, 0))
-        sums = jax.lax.cond(q_needed <= 8, run(8), run(q_full), None)
+    ncand = jnp.sum(assign.allowed, axis=-1)                 # (B, C)
+    q_needed = jnp.max(jnp.where(counts > 0, ncand, 0))
+    # Three tiers: q=1 (no populated cell tied — most real photos; the
+    # pixel pass is a pure table lookup, zero distance math), q=8
+    # (typical tied case), q_full (static worst case).
+    idx = ((q_needed > 1).astype(jnp.int32)
+           + (q_needed > min(8, q_full)).astype(jnp.int32))
+    sums = jax.lax.switch(idx, [run(1), run(min(8, q_full)),
+                                run(q_full)], None)
     return jax.vmap(
         lambda sm, a: palette_finalize(sm, a, total_pixels, tables)
     )(sums, assign)

@@ -184,3 +184,34 @@ def test_pixel_sums_narrow_wide_equivalence():
     wide = jax.vmap(lambda hh, ss, vv, cc2, a: quantize.palette_pixel_sums(
         hh, ss, vv, cc2, a, cfg, tables))(*args)
     np.testing.assert_array_equal(np.asarray(narrow), np.asarray(wide))
+
+
+def test_pixel_sums_q1_equivalence():
+    """q_pad=1 tier (no populated tied cell): pure parent-lookup pass
+    must match the full-width default bit-for-bit on a structured image
+    (whose q_needed is 1 — asserted)."""
+    import jax
+
+    from .util import structured_image
+
+    cfg = ReportConfig()
+    tables = quantize.OctreeTables.for_config(cfg)
+    c = cfg.num_cells
+    img = structured_image(96, 128, seed=7)
+    from photohive_dsp_tpu.ops.colorspace import rgb_to_hsv
+    h, s, v = rgb_to_hsv(jnp.asarray(img[0]), jnp.asarray(img[1]),
+                         jnp.asarray(img[2]))
+    h, s, v = h[None], s[None], v[None]
+    cells = jax.vmap(lambda a, b2, c2: quantize.assign_cells(
+        a, b2, c2, cfg))(h, s, v).reshape(1, -1)
+    counts = jax.vmap(lambda x: quantize.cell_counts(x, c))(cells)
+    assign = jax.vmap(lambda cnt: quantize.parent_assignment(
+        cnt, 96 * 128, cfg, tables))(counts)
+    ncand = jnp.sum(assign.allowed, axis=-1)
+    assert int(jnp.max(jnp.where(counts > 0, ncand, 0))) <= 1
+    args = (h, s, v, cells, assign)
+    q1 = jax.vmap(lambda hh, ss, vv, cc2, a: quantize.palette_pixel_sums(
+        hh, ss, vv, cc2, a, cfg, tables, q_pad=1))(*args)
+    wide = jax.vmap(lambda hh, ss, vv, cc2, a: quantize.palette_pixel_sums(
+        hh, ss, vv, cc2, a, cfg, tables))(*args)
+    np.testing.assert_array_equal(np.asarray(q1), np.asarray(wide))
