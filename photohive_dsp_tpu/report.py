@@ -176,6 +176,12 @@ class Report:
 
     def to_json(self) -> str:
         """Fixed-width flat schema (reference core.py:388-436)."""
+        return json.dumps(self.to_dict(), indent=4)
+
+    def to_dict(self) -> dict:
+        """The 439-key schema as a plain dict (what to_json serializes).
+        The corpus JSONL writer embeds this directly, skipping a
+        serialize-parse round trip per image."""
         rd = {
             'Height': self.rgb_stats.height,
             'Width': self.rgb_stats.width,
@@ -204,7 +210,7 @@ class Report:
             rd[f'Sharpness {i+1}:'] = (
                 self.sharpnesses[i] if i < len(self.sharpnesses) else 0.0
             )
-        return json.dumps(rd, indent=4)
+        return rd
 
 
 def _to_numpy(data: ReportData) -> ReportData:

@@ -327,7 +327,7 @@ def process_corpus(paths: Iterable[str], output_dir: str,
                 rep_h, rep_w = shapes[key]
                 rep = Report(data, rep_h, rep_w, num_boxes=0, config=cfg)
                 out.write(json.dumps({"key": str(key),
-                                      "report": json.loads(rep.to_json())}))
+                                      "report": rep.to_dict()}))
                 out.write("\n")
                 pending.append(key)
                 processed += 1
