@@ -203,6 +203,46 @@ def measure(deadline: float) -> dict:
         "iters": iters,
     }
 
+    # Photo-like content metric.  Uniform noise (above — kept as `value`
+    # for continuity) is this pipeline's WORST case: it populates every
+    # quantizer cell and forces the tied-candidate palette branch.  Real
+    # photos (smooth regions + subjects) take the no-tie fast tier; the
+    # reference's own published timing used a real photo (README.md:
+    # 60-61).  Content: gradients + saturated blobs + mild sensor noise
+    # (the test suite's structured_image recipe), q_needed == 1.
+    try:
+        yg, xg = np.mgrid[0:HEIGHT, 0:WIDTH].astype(np.float32)
+        rch = 0.25 + 0.5 * (xg / WIDTH)
+        gch = 0.25 + 0.5 * (yg / HEIGHT)
+        bch = 0.35 + 0.25 * np.sin(2 * np.pi * xg / 97) \
+            * np.cos(2 * np.pi * yg / 61)
+        for (cy, cx, rad, col) in (
+                (HEIGHT * 0.3, WIDTH * 0.3, 160, (0.9, 0.1, 0.1)),
+                (HEIGHT * 0.7, WIDTH * 0.6, 220, (0.1, 0.8, 0.2)),
+                (HEIGHT * 0.4, WIDTH * 0.8, 140, (0.15, 0.2, 0.9))):
+            m = (yg - cy) ** 2 + (xg - cx) ** 2 < rad ** 2
+            rch[m], gch[m], bch[m] = col
+        photo = np.stack([rch, gch, bch], -1)
+        photo += np.random.default_rng(7).normal(0, 0.01, photo.shape)
+        photo = (np.clip(photo, 0.0, 1.0) * 255.0).round().astype(np.uint8)
+        pframe = jax.device_put(np.broadcast_to(
+            photo, (batch, HEIGHT, WIDTH, 3)).copy())
+        out = fn(pframe, dboxes, dvalid)
+        np.asarray(out.blur_bins)  # warm (cond branch may compile here)
+        s_iters = max(3, iters // 2)
+        t0 = time.perf_counter()
+        for _ in range(s_iters):
+            out = fn(pframe, dboxes, dvalid)
+            np.asarray(out.rgb_stats)
+        np.asarray(out.blur_bins)
+        s_mps = batch * HEIGHT * WIDTH / 1e6 * s_iters \
+            / (time.perf_counter() - t0)
+        result["structured_1080p_mps"] = round(s_mps, 3)
+        print(f"structured-content: {s_mps:.2f} MP/s", file=sys.stderr)
+    except Exception as exc:  # noqa: BLE001 — never lose the number
+        print(f"structured metric skipped: {type(exc).__name__}: {exc}",
+              file=sys.stderr)
+
     # Persist the completed measurement BEFORE the roofline add-on: its
     # microbenchmarks compile fresh executables, and a tunnel stall there
     # would otherwise eat the deadline and lose the fresh number to the
