@@ -434,10 +434,60 @@ def run_eff2proc(n: int) -> dict:
     return r
 
 
+def run_route4k() -> dict:
+    """Replicate-vs-row-shard comparison at 4K (the 8 MP routing policy,
+    models/batch.SPATIAL_ROUTE_MP) on the 8-virtual-device mesh.
+
+    Same total work both ways: 8 images of 2160x3840.
+      * replicate: flat data mesh — one whole image per device;
+      * rowshard:  data=4 x spatial=2 — each image's rows split 2-way.
+    CAVEAT (methodology): virtual devices share this host's cores, so
+    compute cannot speed up with sharding and the collectives run as
+    memcpy — this measures each route's *structural overhead* (padding,
+    halo/all_to_all bookkeeping, per-shard fixed costs) at equal FLOPs.
+    The real crossover (where HBM capacity or per-chip latency forces
+    row-sharding) needs >= 2 physical chips; on one chip the policy is
+    moot — BatchRunner only routes spatially when the mesh HAS a spatial
+    axis.  What this pins: the spatial route's overhead factor vs pure
+    dp at the routing threshold, i.e. the price the policy pays when it
+    fires."""
+    code = _CHILD_PRELUDE.format(repo=REPO) + """
+H, W, B = 2160, 3840, 8
+cfg = ReportConfig()
+rng = np.random.default_rng(0)
+img = rng.integers(0, 256, (B, H, W, 3), dtype=np.uint8)
+results = {}
+for name, mesh_args, route_mp in (("replicate", dict(data=8, spatial=1),
+                                   1e9),
+                                  ("rowshard", dict(data=4, spatial=2),
+                                   0.0)):
+    mesh = make_mesh(**mesh_args)
+    runner = BatchRunner(cfg, mesh=mesh, spatial_route_mp=route_mp)
+    assert runner.routes_spatially(H, W) == (name == "rowshard")
+    out = runner.run_u8(img); np.asarray(out.blur_bins)     # compile
+    best = float('inf')
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = runner.run_u8(img); np.asarray(out.blur_bins)
+        best = min(best, time.perf_counter() - t0)
+    results[name] = round(best, 3)
+results["overhead_factor"] = round(results["rowshard"]
+                                   / results["replicate"], 3)
+print(json.dumps(results))
+"""
+    r = _run_child(code, 8, timeout=1800)
+    print(f"  4K x8 fixed work: replicate {r['replicate']}s vs rowshard "
+          f"{r['rowshard']}s -> spatial-route overhead factor "
+          f"{r['overhead_factor']}x (virtual devices: equal-FLOPs "
+          f"structural overhead, not a chip crossover)")
+    return r
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("mode", choices=["curve", "hlo", "corpus", "hosts",
-                                     "hosts2e2e", "eff2proc", "all"])
+                                     "hosts2e2e", "eff2proc", "route4k",
+                                     "all"])
     ap.add_argument("--n", type=int, default=2000,
                     help="corpus size for `corpus` mode")
     args = ap.parse_args()
@@ -459,6 +509,9 @@ def main() -> None:
         print(f"== measured 2-process efficiency, pinned cores "
               f"({args.n}) ==")
         results["eff2proc"] = run_eff2proc(args.n)
+    if args.mode in ("route4k",):
+        print("== 4K replicate vs row-shard (8 MP routing policy) ==")
+        results["route4k"] = run_route4k()
     if args.mode in ("corpus", "all"):
         print(f"== config #4 reduced-scale corpus ({args.n} images) ==")
         results["corpus"] = run_corpus(args.n)
