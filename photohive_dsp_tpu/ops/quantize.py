@@ -548,13 +548,31 @@ def color_palette_batched(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray,
         lambda cnt, o: parent_assignment_from_order(cnt, o, total_pixels,
                                                     cfg, tables)
     )(counts, order)
-    # Batch-level narrow/wide candidate width, the XLA counterpart of
-    # palette_sums_by_k_auto's scalar q8/q40 cond: most images have no
-    # populated cell with more than 8 tie candidates, and the narrow
-    # width runs ~q_full/8 x less distance + gather work per pixel.
-    # Identical results on the taken branch (extra candidates are
-    # sentinels for every populated cell).  The cond predicate is scalar
-    # because this runs at batch level, outside any vmap.
+    sums = palette_q_tiers(h, s, v, cells, assign, counts, cfg, tables)
+    return jax.vmap(
+        lambda sm, a: palette_finalize(sm, a, total_pixels, tables)
+    )(sums, assign)
+
+
+def palette_q_tiers(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray,
+                    cells: jnp.ndarray, assign: ParentAssignment,
+                    counts: jnp.ndarray, cfg: ReportConfig,
+                    tables: OctreeTables) -> jnp.ndarray:
+    """Batched XLA pixel pass with the scalar q=1/8/full width switch.
+
+    The XLA counterpart of palette_sums_by_k_auto's q8/q40 cond, one
+    tier lower: q=1 when no populated cell is tied (most real photos —
+    the pass is a pure per-cell parent lookup, zero distance math), q=8
+    for the typical tied case (~q_full/8 x less distance + gather work
+    than the static worst case), q_full otherwise.  Identical results on
+    the taken branch (extra candidate slots are sentinels for every
+    populated cell; pinned by tests).
+
+    The batch rides the LEADING axis of every operand — callers must not
+    vmap over images (that would batch the predicate and execute every
+    tier; the dp-spatial body defers to after its vmap for exactly this
+    reason, parallel/spatial.DeferredPalette).  Returns (B, C, 4) local
+    sums; sharded callers psum them."""
     q_full = max(8, -(-octree_geometry(cfg).max_tie_candidates // 8) * 8)
 
     def run(qp):
@@ -567,13 +585,7 @@ def color_palette_batched(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray,
 
     ncand = jnp.sum(assign.allowed, axis=-1)                 # (B, C)
     q_needed = jnp.max(jnp.where(counts > 0, ncand, 0))
-    # Three tiers: q=1 (no populated cell tied — most real photos; the
-    # pixel pass is a pure table lookup, zero distance math), q=8
-    # (typical tied case), q_full (static worst case).
     idx = ((q_needed > 1).astype(jnp.int32)
            + (q_needed > min(8, q_full)).astype(jnp.int32))
-    sums = jax.lax.switch(idx, [run(1), run(min(8, q_full)),
+    return jax.lax.switch(idx, [run(1), run(min(8, q_full)),
                                 run(q_full)], None)
-    return jax.vmap(
-        lambda sm, a: palette_finalize(sm, a, total_pixels, tables)
-    )(sums, assign)

@@ -362,21 +362,38 @@ def _sharded_blur_bins(pgm_local: jnp.ndarray, dc: jnp.ndarray,
     return means.reshape(cfg.angle_partitions, cfg.radius_partitions)
 
 
+def _dummy_palette(cfg: ReportConfig) -> "quantize.PaletteResult":
+    """Shape-correct zeros for the deferred path (replaced by the
+    caller's _replace after the post-vmap pass; dead code under XLA)."""
+    c = cfg.num_cells
+    return quantize.PaletteResult(
+        hsv=jnp.zeros((c, 3)), percentages=jnp.zeros((c,)),
+        n_valid=jnp.zeros((), jnp.int32),
+        parent_ids=jnp.zeros((c,), jnp.int32))
+
+
 class DeferredPalette(NamedTuple):
     """Palette pixel-pass inputs a vmapped caller runs batched.
 
-    The q8/q40 kernel-width ``lax.cond`` needs a SCALAR predicate; under
-    the dp-spatial per-image vmap it would batch (executing both
-    kernels).  Deferring the pixel pass to after the vmap lets one
-    batched kernel call carry the whole local batch with a scalar
-    max-over-batch predicate — the same design as the single-chip
-    batched fast path (quantize.color_palette_batched)."""
+    The candidate-width ``lax.cond``/``lax.switch`` needs a SCALAR
+    predicate; under the dp-spatial per-image vmap it would batch
+    (executing every branch).  Deferring the pixel pass to after the
+    vmap lets one batched call carry the whole local batch with a
+    scalar max-over-batch predicate — the same design as the
+    single-chip batched fast path (quantize.color_palette_batched).
+    Used by BOTH dp-spatial paths: Pallas (kernel q8/q40 cond) and XLA
+    (q=1/8/full tier switch)."""
 
-    h: jnp.ndarray        # (P_local,) hue, -1 sentinel on padded pixels
+    h: jnp.ndarray        # (P_local,) hue; -1 sentinel on padded pixels
+    #                       (Pallas), raw hue (XLA — cells carry the
+    #                       sentinel there)
     s: jnp.ndarray        # (P_local,)
     v: jnp.ndarray        # (P_local,)
     assign: quantize.ParentAssignment   # replicated across the axis
     counts: jnp.ndarray   # (C,) psum-merged global cell counts
+    cells: jnp.ndarray    # (P_local,) int32 w/ sentinel C on padded px
+    #                       (XLA defer only; None on the Pallas defer,
+    #                       whose kernels re-derive cells in-kernel)
 
 
 def spatial_report_body(rgb_local: jnp.ndarray, down_local: jnp.ndarray,
@@ -409,14 +426,11 @@ def spatial_report_body(rgb_local: jnp.ndarray, down_local: jnp.ndarray,
     each shard's local pixels (partial sums psum-merged), and the one-hot
     MXU polar binning on each shard's local spectrum.
 
-    With ``defer_palette`` (Pallas only) the palette pixel pass and
+    With ``defer_palette`` (either path) the palette pixel pass and
     finalize are NOT run; the return is ``(ReportData-with-zeroed-palette,
-    DeferredPalette)`` and the caller runs the batched kernel + psum +
+    DeferredPalette)`` and the caller runs the batched pass + psum +
     finalize itself (build_dp_spatial_report does, outside its vmap).
     """
-    if defer_palette and not use_pallas:
-        raise ValueError("defer_palette requires use_pallas (the XLA "
-                         "path has no kernel-width cond to hoist)")
     total = height * width
     n = jax.lax.psum(1, axis_name)                 # static axis size (int)
     rate = cfg.downsample_rate
@@ -484,12 +498,9 @@ def spatial_report_body(rgb_local: jnp.ndarray, down_local: jnp.ndarray,
         if defer_palette:
             deferred = DeferredPalette(h=h_pal.reshape(-1),
                                        s=s.reshape(-1), v=v.reshape(-1),
-                                       assign=assign, counts=counts)
-            c = cfg.num_cells
-            palette = quantize.PaletteResult(
-                hsv=jnp.zeros((c, 3)), percentages=jnp.zeros((c,)),
-                n_valid=jnp.zeros((), jnp.int32),
-                parent_ids=jnp.zeros((c,), jnp.int32))
+                                       assign=assign, counts=counts,
+                                       cells=None)
+            palette = _dummy_palette(cfg)
         else:
             sums_k = quantize.palette_sums_by_k_auto(
                 h_pal.reshape(1, -1), s.reshape(1, -1), v.reshape(1, -1),
@@ -502,11 +513,26 @@ def spatial_report_body(rgb_local: jnp.ndarray, down_local: jnp.ndarray,
         counts = jax.lax.psum(quantize.cell_counts(cells, cfg.num_cells),
                               axis_name)
         assign = quantize.parent_assignment(counts, d_total, cfg, octree)
-        sums = jax.lax.psum(
-            quantize.palette_pixel_sums(h, s, v, cells, assign, cfg,
-                                        octree),
-            axis_name)
-        palette = quantize.palette_finalize(sums, assign, d_total, octree)
+        if defer_palette:
+            deferred = DeferredPalette(h=h.reshape(-1), s=s.reshape(-1),
+                                       v=v.reshape(-1), assign=assign,
+                                       counts=counts, cells=cells)
+            palette = _dummy_palette(cfg)
+        else:
+            # Scalar tier switch (q=1/8/full, quantize.palette_q_tiers):
+            # legal here because this branch is unbatched (the vmapped
+            # dp caller defers instead — a batched predicate would
+            # execute every tier).  counts/assign are replicated across
+            # the axis, so every shard picks the same tier and the psum
+            # stays matched.
+            sums = jax.lax.psum(
+                quantize.palette_q_tiers(
+                    h.reshape(1, -1), s.reshape(1, -1), v.reshape(1, -1),
+                    cells[None], jax.tree.map(lambda x: x[None], assign),
+                    counts[None], cfg, octree)[0],
+                axis_name)
+            palette = quantize.palette_finalize(sums, assign, d_total,
+                                                octree)
 
     sharp = _sharded_sharpness(pgm, boxes, boxes_valid, row_offset,
                                axis_name, any_tiny, any_valid)
@@ -618,31 +644,37 @@ def build_dp_spatial_report(mesh: Mesh, batch: int, height: int,
         any_valid = jnp.any(valid)
 
         def one(rgb_i, down_i, boxes_i, valid_i):
-            # defer_palette (Pallas): the q8/q40 kernel-width cond needs
-            # a scalar predicate, which this vmap would batch (executing
-            # BOTH kernels per image); deferring runs ONE batched kernel
-            # call below with a max-over-batch scalar predicate — the
-            # single-chip batched design, and strictly cheaper than the
-            # old always-wide fallback for typical (narrow) images.
+            # defer_palette: the candidate-width cond/switch needs a
+            # scalar predicate, which this vmap would batch (executing
+            # every branch per image); deferring runs ONE batched pass
+            # below with a max-over-batch scalar predicate — the
+            # single-chip batched design — on BOTH the Pallas (q8/q40
+            # kernel cond) and XLA (q=1/8/full tier switch) paths.
             return spatial_report_body(rgb_i, down_i, boxes_i, valid_i,
                                        pad_loc[0], ids_loc[0], octree_t,
                                        counts, tabs.wc, height, width, cfg,
                                        SPATIAL_AXIS, use_pallas, any_tiny,
                                        any_valid,
-                                       defer_palette=use_pallas,
+                                       defer_palette=True,
                                        polar_flat=tabs.flat_route)
-        if not use_pallas:
-            return jax.vmap(one)(rgb_loc, down_loc, boxes, valid)
         data, pal = jax.vmap(one)(rgb_loc, down_loc, boxes, valid)
         d_w = width // rate if rate > 1 else width
         d_total = d_h * d_w
-        sums_k = quantize.palette_sums_by_k_auto(
-            pal.h, pal.s, pal.v, pal.assign, pal.counts, cfg, octree_t)
-        sums_k = jax.lax.psum(sums_k, SPATIAL_AXIS)
-        palette = jax.vmap(
-            lambda sk, a: quantize.palette_finalize_by_k(sk, a, d_total,
-                                                         octree_t)
-        )(sums_k, pal.assign)
+        if use_pallas:
+            sums_k = quantize.palette_sums_by_k_auto(
+                pal.h, pal.s, pal.v, pal.assign, pal.counts, cfg, octree_t)
+            sums_k = jax.lax.psum(sums_k, SPATIAL_AXIS)
+            palette = jax.vmap(
+                lambda sk, a: quantize.palette_finalize_by_k(
+                    sk, a, d_total, octree_t))(sums_k, pal.assign)
+        else:
+            sums = quantize.palette_q_tiers(
+                pal.h, pal.s, pal.v, pal.cells, pal.assign, pal.counts,
+                cfg, octree_t)
+            sums = jax.lax.psum(sums, SPATIAL_AXIS)
+            palette = jax.vmap(
+                lambda sm, a: quantize.palette_finalize(
+                    sm, a, d_total, octree_t))(sums, pal.assign)
         return data._replace(palette_hsv=palette.hsv,
                              palette_pct=palette.percentages,
                              palette_n=palette.n_valid,

@@ -347,7 +347,14 @@ def test_spatial_pallas_full_body_interpret_smoke():
 
 def test_dp_spatial_pallas_deferred_palette_interpret_smoke():
     """dp-spatial Pallas path in interpret mode — opt-in
-    (PHOTOHIVE_SPMD_INTERPRET=1), same rendezvous caveat as above.
+    (PHOTOHIVE_SPMD_INTERPRET=1), same rendezvous caveat as above PLUS
+    a flaky XLA:CPU segfault: running an interpret-mode program under
+    shard_map can leave the CPU client in a state that SIGSEGVs at the
+    next compile or at interpreter exit (reproduced on code revisions
+    months apart, with the compilation cache disabled, and after a
+    clean "PALLAS OK" print — the computed results are correct whenever
+    the run completes).  Expect to re-run a few times; a pass means
+    parity holds.
 
     Exercises the deferred-palette restructure: the palette pixel pass
     runs ONCE per local batch outside the per-image vmap with a scalar
