@@ -434,6 +434,84 @@ def run_eff2proc(n: int) -> dict:
     return r
 
 
+def run_hosts4(n: int = 400) -> dict:
+    """FOUR coordinator-joined processes (1 pinned core each) stream
+    disjoint quarters of one corpus — refutes the round-2 assumption
+    that this environment caps out at 2 jax.distributed processes, and
+    demonstrates the num_hosts partition at a less-trivial fan-out.
+    Verifies disjointness + coverage; wall skew across workers is the
+    measured straggler term at this scale."""
+    import tempfile
+    import textwrap
+
+    ncores = os.cpu_count() or 1
+    nproc = min(4, ncores)
+    workdir = tempfile.mkdtemp(prefix="ph_h4_")
+    corpus_dir = os.path.join(workdir, "corpus")
+    make_corpus(corpus_dir, n)
+    worker = textwrap.dedent(f"""
+        import glob, sys, time
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
+        sys.path.insert(0, {REPO!r})
+        pid = int(sys.argv[1])
+        from photohive_dsp_tpu.parallel.mesh import initialize_distributed
+        initialize_distributed(sys.argv[2], {nproc}, pid)
+        from photohive_dsp_tpu import ReportConfig
+        from photohive_dsp_tpu.utils.io import process_corpus
+        paths = sorted(glob.glob({corpus_dir!r} + '/*.png'))
+        t0 = time.perf_counter()
+        done = process_corpus(paths, {workdir!r} + '/out',
+                              cfg=ReportConfig(), batch_size=16,
+                              num_hosts={nproc}, host_id=pid,
+                              decode_workers=1)
+        print('HOST_DONE', pid, done,
+              round(time.perf_counter() - t0, 1), flush=True)
+    """)
+    wpath = os.path.join(workdir, "worker.py")
+    with open(wpath, "w") as f:
+        f.write(worker)
+    import socket
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)
+    t0 = time.perf_counter()
+    procs = [subprocess.Popen(
+        ["taskset", "-c", str(p), sys.executable, wpath, str(p),
+         f"localhost:{port}"], env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE, text=True) for p in range(nproc)]
+    try:
+        outs = [p.communicate(timeout=3600) for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+    wall = time.perf_counter() - t0
+    walls = []
+    for p, (out, err) in zip(procs, outs):
+        if p.returncode != 0:
+            raise RuntimeError(f"worker failed:\n{err[-2000:]}")
+        walls.append(float(out.split()[-1]))
+    import json as _json
+    keys = []
+    for pid in range(nproc):
+        with open(os.path.join(workdir, "out",
+                               f"reports.{pid}.jsonl")) as f:
+            keys.append({_json.loads(l)["key"] for l in f})
+    assert len(set().union(*keys)) == n
+    assert sum(len(k) for k in keys) == n
+    straggler = max(walls) / (sum(walls) / nproc) - 1.0
+    r = dict(n_images=n, nproc=nproc, wall_s=round(wall, 1),
+             per_worker_wall_s=walls,
+             straggler_frac=round(straggler, 4), workdir=workdir)
+    print(f"  {nproc}-process e2e: {n} images in {wall:.0f}s, per-worker "
+          f"{walls}, disjoint+complete, straggler {straggler*100:.1f}%")
+    return r
+
+
 def run_route4k() -> dict:
     """Replicate-vs-row-shard comparison at 4K (the 8 MP routing policy,
     models/batch.SPATIAL_ROUTE_MP) on the 8-virtual-device mesh.
@@ -487,7 +565,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("mode", choices=["curve", "hlo", "corpus", "hosts",
                                      "hosts2e2e", "eff2proc", "route4k",
-                                     "all"])
+                                     "hosts4", "all"])
     ap.add_argument("--n", type=int, default=2000,
                     help="corpus size for `corpus` mode")
     args = ap.parse_args()
@@ -512,6 +590,9 @@ def main() -> None:
     if args.mode in ("route4k",):
         print("== 4K replicate vs row-shard (8 MP routing policy) ==")
         results["route4k"] = run_route4k()
+    if args.mode in ("hosts4",):
+        print("== 4-process coordinated corpus ==")
+        results["hosts4"] = run_hosts4(args.n if args.n != 2000 else 400)
     if args.mode in ("corpus", "all"):
         print(f"== config #4 reduced-scale corpus ({args.n} images) ==")
         results["corpus"] = run_corpus(args.n)
