@@ -215,3 +215,45 @@ def test_pixel_sums_q1_equivalence():
     wide = jax.vmap(lambda hh, ss, vv, cc2, a: quantize.palette_pixel_sums(
         hh, ss, vv, cc2, a, cfg, tables))(*args)
     np.testing.assert_array_equal(np.asarray(q1), np.asarray(wide))
+
+
+@pytest.mark.parametrize("kw", [
+    dict(h_partitions=4),                       # q_full=16, C=28
+    dict(h_partitions=36),                      # q_full=80, C=220
+    dict(s_partitions=3, v_partitions=3),       # q_full=56, C=166
+    dict(h_partitions=12, s_partitions=1, v_partitions=1),  # C=14
+])
+def test_palette_tiers_nondefault_configs(kw):
+    """The q=1/8/full tier arithmetic must hold for every legal config
+    (q_full varies 16..80 here): the batched tiered route must match the
+    unconditional full-width pass exactly on both a no-tie structured
+    image and a uniform-noise image (which forces the tied branch)."""
+    import jax
+
+    from photohive_dsp_tpu.ops.colorspace import rgb_to_hsv
+    from .util import structured_image
+
+    cfg = ReportConfig(**kw)
+    cfg.validate()
+    tables = quantize.OctreeTables.for_config(cfg)
+    c = cfg.num_cells
+    rng = np.random.default_rng(5)
+    imgs = np.stack([structured_image(72, 96, seed=2),
+                     rng.random((3, 72, 96)).astype(np.float32)])
+    h, s, v = jax.vmap(lambda x: rgb_to_hsv(x[0], x[1], x[2]))(
+        jnp.asarray(imgs, jnp.float32))
+    tiered = quantize.color_palette_batched(h, s, v, cfg, tables, False)
+    # Unconditional full-width reference pass (no tier switch).
+    cells = jax.vmap(lambda a, b2, c2: quantize.assign_cells(
+        a, b2, c2, cfg))(h, s, v).reshape(2, -1)
+    counts = jax.vmap(lambda x: quantize.cell_counts(x, c))(cells)
+    assign = jax.vmap(lambda cnt: quantize.parent_assignment(
+        cnt, 72 * 96, cfg, tables))(counts)
+    sums = jax.vmap(lambda hh, ss, vv, cc2, a: quantize.palette_pixel_sums(
+        hh, ss, vv, cc2, a, cfg, tables))(h, s, v, cells, assign)
+    ref = jax.vmap(lambda sm, a: quantize.palette_finalize(
+        sm, a, 72 * 96, tables))(sums, assign)
+    for name in tiered._fields:
+        np.testing.assert_array_equal(np.asarray(getattr(tiered, name)),
+                                      np.asarray(getattr(ref, name)),
+                                      err_msg=f"{kw}:{name}")
