@@ -257,3 +257,19 @@ def test_palette_tiers_nondefault_configs(kw):
         np.testing.assert_array_equal(np.asarray(getattr(tiered, name)),
                                       np.asarray(getattr(ref, name)),
                                       err_msg=f"{kw}:{name}")
+
+
+def test_huge_c_config_end_to_end():
+    """Largest legal config (h_partitions=360 -> C=2164, q_full=728):
+    the whole public API must work, not just the routed sort — the
+    candidate table, tier switch, and finalize all scale with C."""
+    import photohive_dsp_tpu as ph
+
+    img = np.random.default_rng(0).integers(0, 256, (360, 480, 3),
+                                            np.uint8)
+    rep = ph.get_report(img, h_partitions=360)
+    assert rep is not None
+    pct = np.asarray(rep.color_palette.quantities)
+    assert np.isfinite(pct).all() and abs(pct.sum() - 1.0) < 1e-4
+    hsv = np.asarray(rep.color_palette.colors)
+    assert np.isfinite(hsv).all()
