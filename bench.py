@@ -272,7 +272,45 @@ def measure(deadline: float) -> dict:
         except Exception as exc:  # noqa: BLE001 — never lose the number
             print(f"4k blur bench skipped: {type(exc).__name__}: {exc}",
                   file=sys.stderr)
+
+    # BASELINE config #3: mixed-resolution corpus batch through the
+    # bucketed runner (decode-free: synthetic frames; measures shape
+    # bucketing + padded batching + per-bucket executables end to end).
+    if deadline - time.perf_counter() > 75.0:
+        try:
+            result.update(_measure_mixed_res(platform))
+        except Exception as exc:  # noqa: BLE001 — never lose the number
+            print(f"mixed-res bench skipped: {type(exc).__name__}: {exc}",
+                  file=sys.stderr)
     return result
+
+
+def _measure_mixed_res(platform: str) -> dict:
+    """Config #3 at driver scale: images over three resolutions with
+    crop boxes via models.batch.run_corpus; reports aggregate MP/s."""
+    from photohive_dsp_tpu import ReportConfig
+    from photohive_dsp_tpu.models.batch import run_corpus
+
+    shapes = [(720, 1280), (1080, 1920), (480, 640)]
+    n = 48 if platform == "cpu" else 256
+    rng = np.random.default_rng(3)
+    imgs = []
+    for i in range(n):
+        h, w = shapes[i % len(shapes)]
+        imgs.append((i, rng.integers(0, 256, (h, w, 3), np.uint8)))
+    total_mp = sum(im.shape[0] * im.shape[1] for _, im in imgs) / 1e6
+    cfg = ReportConfig()
+    # Untimed pass compiles the per-shape executables (persistent-cached
+    # across runs); the timed pass measures steady-state throughput.
+    sum(1 for _ in run_corpus(iter(imgs), cfg, batch_size=16))
+    t0 = time.perf_counter()
+    done = sum(1 for _ in run_corpus(iter(imgs), cfg, batch_size=16))
+    dt = time.perf_counter() - t0
+    assert done == n
+    mps = total_mp / dt
+    print(f"mixed-res: {n} images, {total_mp:.0f} MP in {dt:.1f}s = "
+          f"{mps:.2f} MP/s", file=sys.stderr)
+    return {"mixed_res_mps": round(mps, 3), "mixed_res_images": n}
 
 
 def _measure_blur_4k(use_pallas: bool, platform: str) -> dict:
