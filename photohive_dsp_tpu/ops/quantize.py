@@ -311,10 +311,10 @@ def palette_pixel_sums(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray,
 
     Local to a shard; partial sums combine with psum (exact per-bin adds).
     ``q_pad`` narrows the candidate width (default: the config's static
-    worst case); callers may pass 8 when a batch-level predicate proves
-    no populated cell has more candidates (color_palette_batched's cond —
-    results are identical then, candidates past the real count are
-    sentinels).
+    worst case); palette_q_tiers passes 8 — or 1, the pure parent-lookup
+    pass — when its batch-level predicate proves no populated cell has
+    more candidates (results are identical then: candidates past the
+    real count are sentinels).
     """
     c = cfg.num_cells
     hf = h.reshape(-1)
