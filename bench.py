@@ -262,26 +262,35 @@ def measure(deadline: float) -> dict:
             print(f"roofline skipped: {type(exc).__name__}: {exc}",
                   file=sys.stderr)
 
+    # Add-on budgets: each section may need a fresh compile, which on
+    # the tunneled TPU can stall minutes (CLAUDE.md).  The main metric
+    # is cached above (and re-cached after each completed add-on), so a
+    # deadline kill mid-add-on still emits everything measured so far —
+    # the margin only controls how eagerly add-ons are attempted.
+    addon_margin = 90.0 if platform == "cpu" else 300.0
+
     # BASELINE config #2: single-4K blur-profile chain (DC removal ->
     # 2-D rFFT magnitude^2 -> log normalize -> polar bins).  Reference
     # stage total 0.572 s at ~2 MP (README.md:73); this measures the
     # full chain per 4K image on-chip.
-    if deadline - time.perf_counter() > 90.0:
+    if deadline - time.perf_counter() > addon_margin:
         try:
             result.update(_measure_blur_4k(use_pallas, platform))
         except Exception as exc:  # noqa: BLE001 — never lose the number
             print(f"4k blur bench skipped: {type(exc).__name__}: {exc}",
                   file=sys.stderr)
+        _cache_result(result)
 
     # BASELINE config #3: mixed-resolution corpus batch through the
     # bucketed runner (decode-free: synthetic frames; measures shape
     # bucketing + padded batching + per-bucket executables end to end).
-    if deadline - time.perf_counter() > 75.0:
+    if deadline - time.perf_counter() > addon_margin:
         try:
             result.update(_measure_mixed_res(platform))
         except Exception as exc:  # noqa: BLE001 — never lose the number
             print(f"mixed-res bench skipped: {type(exc).__name__}: {exc}",
                   file=sys.stderr)
+        _cache_result(result)
     return result
 
 
