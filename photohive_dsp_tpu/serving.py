@@ -61,10 +61,14 @@ def _register_serialization() -> None:
 
 def export_report(height: int, width: int,
                   cfg: ReportConfig | None = None, *,
-                  batch_size: int = 16,
+                  batch_size: Union[int, str] = 16,
                   use_pallas: bool | None = None) -> bytes:
     """Serialize the batched uint8 report program for one (H, W, config).
 
+    ``batch_size`` may be an int (artifact pinned to that exact batch)
+    or the string ``"dynamic"`` — a symbolic batch dimension
+    (jax.export shape polymorphism): ONE artifact then serves any batch
+    size, recompiling per concrete size at load site like a normal jit.
     ``use_pallas`` defaults to the current backend's fast-path choice
     (models/batch._want_pallas); pass False to export the pure-XLA
     program (portable across platforms, the PHOTOHIVE_NO_PALLAS
@@ -85,11 +89,13 @@ def export_report(height: int, width: int,
         return full_report_batched(rgb, boxes, valid, tables, cfg,
                                    use_pallas)
 
-    args = (jax.ShapeDtypeStruct((batch_size, height, width, 3),
-                                 jnp.uint8),
-            jax.ShapeDtypeStruct((batch_size, MAX_CROP_BOXES, 4),
-                                 jnp.int32),
-            jax.ShapeDtypeStruct((batch_size, MAX_CROP_BOXES), jnp.bool_))
+    if batch_size == "dynamic":
+        b, = jax.export.symbolic_shape("b")
+    else:
+        b = int(batch_size)
+    args = (jax.ShapeDtypeStruct((b, height, width, 3), jnp.uint8),
+            jax.ShapeDtypeStruct((b, MAX_CROP_BOXES, 4), jnp.int32),
+            jax.ShapeDtypeStruct((b, MAX_CROP_BOXES), jnp.bool_))
     exported = jax.export.export(fn)(*args)
     return exported.serialize()
 

@@ -75,3 +75,26 @@ def test_export_rejects_invalid_config():
 
     with pytest.raises(ValueError):
         export_report(360, 480, ph.ReportConfig(h_partitions=7))
+
+
+def test_export_dynamic_batch():
+    """batch_size="dynamic" exports a symbolic-batch artifact that
+    serves any batch size from one blob."""
+    imgs2 = np.stack([(structured_image(360, 480, seed=s) * 255)
+                      for s in (1, 4)]).astype(np.uint8)
+    u8_2 = np.moveaxis(imgs2, 1, -1)
+    u8_3 = np.concatenate([u8_2, u8_2[:1]])
+    blob = export_report(360, 480, CFG, batch_size="dynamic",
+                         use_pallas=False)
+    fn = load_report(blob)
+    for u8 in (u8_2, u8_3):
+        b = u8.shape[0]
+        out = fn(u8, np.zeros((b, 10, 4), np.int32),
+                 np.zeros((b, 10), bool))
+        assert np.asarray(out.palette_n).shape == (b,)
+        assert np.isfinite(np.asarray(out.rgb_stats)).all()
+    # the two batch sizes agree on the shared images
+    o2 = fn(u8_2, np.zeros((2, 10, 4), np.int32), np.zeros((2, 10), bool))
+    o3 = fn(u8_3, np.zeros((3, 10, 4), np.int32), np.zeros((3, 10), bool))
+    np.testing.assert_array_equal(np.asarray(o2.palette_n),
+                                  np.asarray(o3.palette_n)[:2])
