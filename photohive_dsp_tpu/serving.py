@@ -62,7 +62,8 @@ def _register_serialization() -> None:
 def export_report(height: int, width: int,
                   cfg: ReportConfig | None = None, *,
                   batch_size: Union[int, str] = 16,
-                  use_pallas: bool | None = None) -> bytes:
+                  use_pallas: bool | None = None,
+                  mesh=None) -> bytes:
     """Serialize the batched uint8 report program for one (H, W, config).
 
     ``batch_size`` may be an int (artifact pinned to that exact batch)
@@ -72,7 +73,18 @@ def export_report(height: int, width: int,
     ``use_pallas`` defaults to the current backend's fast-path choice
     (models/batch._want_pallas); pass False to export the pure-XLA
     program (portable across platforms, the PHOTOHIVE_NO_PALLAS
-    semantics).  Returns the serialized artifact bytes.
+    semantics).
+
+    ``mesh`` (a jax.sharding.Mesh) exports the DATA-PARALLEL program
+    with its shardings baked in: the artifact then requires the SAME
+    device count at load time, ``batch_size`` must divide the device
+    count, and inputs must be device_put with the batch axis sharded
+    (load_report(mesh=...) handles that).  Collective-free by
+    construction (the data axis needs none), so the artifact scales
+    per-chip throughput with the mesh.  Dynamic batch is not supported
+    with a mesh (per-shard shapes must be static).
+
+    Returns the serialized artifact bytes.
     """
     from .models.batch import _want_pallas
 
@@ -81,18 +93,34 @@ def export_report(height: int, width: int,
     if use_pallas is None:
         use_pallas = _want_pallas()
     _register_serialization()
-    tables = ReportTables.build(height, width, cfg)
 
-    @jax.jit
-    def fn(u8, boxes, valid):
-        rgb = jnp.moveaxis(u8, -1, 1).astype(jnp.float32) / 255.0
-        return full_report_batched(rgb, boxes, valid, tables, cfg,
-                                   use_pallas)
-
-    if batch_size == "dynamic":
-        b, = jax.export.symbolic_shape("b")
-    else:
+    if mesh is not None:
+        if batch_size == "dynamic":
+            raise ValueError("dynamic batch is not supported with a mesh "
+                             "(per-shard shapes must be static)")
+        from .parallel.sharding import (data_parallel_report_u8,
+                                        flat_data_mesh)
+        fmesh = flat_data_mesh(mesh)
         b = int(batch_size)
+        if b % fmesh.size:
+            raise ValueError(f"batch_size {b} must divide the mesh's "
+                             f"{fmesh.size} devices")
+        dp_fn, tables = data_parallel_report_u8(height, width, cfg, fmesh,
+                                                use_pallas)
+        fn = jax.jit(lambda u8, bx, vl: dp_fn(u8, bx, vl, tables))
+    else:
+        tables = ReportTables.build(height, width, cfg)
+
+        @jax.jit
+        def fn(u8, boxes, valid):
+            rgb = jnp.moveaxis(u8, -1, 1).astype(jnp.float32) / 255.0
+            return full_report_batched(rgb, boxes, valid, tables, cfg,
+                                       use_pallas)
+
+        if batch_size == "dynamic":
+            b, = jax.export.symbolic_shape("b")
+        else:
+            b = int(batch_size)
     args = (jax.ShapeDtypeStruct((b, height, width, 3), jnp.uint8),
             jax.ShapeDtypeStruct((b, MAX_CROP_BOXES, 4), jnp.int32),
             jax.ShapeDtypeStruct((b, MAX_CROP_BOXES), jnp.bool_))
@@ -100,13 +128,27 @@ def export_report(height: int, width: int,
     return exported.serialize()
 
 
-def load_report(blob: Union[bytes, bytearray]) -> Callable:
+def load_report(blob: Union[bytes, bytearray], *, mesh=None) -> Callable:
     """Rehydrate an export_report artifact into a callable.
 
     The callable takes (u8 (B,H,W,3), boxes (B,10,4) int32,
-    valid (B,10) bool) with exactly the exported batch/shape and returns
-    a ReportData (leading batch dim).  Wrap in jax.jit implicitly — the
-    deserialized module recompiles once for the local devices."""
+    valid (B,10) bool) with the exported batch/shape and returns a
+    ReportData (leading batch dim).  For a mesh-exported artifact, pass
+    a mesh of the SAME device count: inputs are device_put batch-sharded
+    over it before the call (the jax.export calling convention for
+    multi-device modules)."""
     _register_serialization()
     exported = jax.export.deserialize(bytes(blob))
-    return jax.jit(exported.call)
+    call = jax.jit(exported.call)
+    if mesh is None:
+        return call
+    from jax.sharding import NamedSharding, PartitionSpec
+    from .parallel.mesh import DATA_AXIS
+    from .parallel.sharding import flat_data_mesh
+    sh = NamedSharding(flat_data_mesh(mesh), PartitionSpec(DATA_AXIS))
+
+    def sharded_call(u8, boxes, valid):
+        return call(jax.device_put(u8, sh), jax.device_put(boxes, sh),
+                    jax.device_put(valid, sh))
+
+    return sharded_call

@@ -98,3 +98,29 @@ def test_export_dynamic_batch():
     o3 = fn(u8_3, np.zeros((3, 10, 4), np.int32), np.zeros((3, 10), bool))
     np.testing.assert_array_equal(np.asarray(o2.palette_n),
                                   np.asarray(o3.palette_n)[:2])
+
+
+def test_export_mesh_dp_artifact():
+    """mesh= exports the data-parallel program; load_report(mesh=...)
+    shards inputs and runs it on the same device count, matching the
+    single-device artifact's results."""
+    from photohive_dsp_tpu.parallel.mesh import make_mesh
+
+    imgs = np.stack([(structured_image(360, 480, seed=s) * 255)
+                     for s in (1, 4)]).astype(np.uint8)
+    u8 = np.moveaxis(imgs, 1, -1)
+    u8_8 = np.concatenate([u8] * 4)
+    bx = np.zeros((8, 10, 4), np.int32)
+    vl = np.zeros((8, 10), bool)
+    mesh = make_mesh(data=8, spatial=1)
+    blob = export_report(360, 480, CFG, batch_size=8, use_pallas=False,
+                         mesh=mesh)
+    fn = load_report(blob, mesh=make_mesh(data=8, spatial=1))
+    out = fn(u8_8, bx, vl)
+    ref_blob = export_report(360, 480, CFG, batch_size=2,
+                             use_pallas=False)
+    ref = load_report(ref_blob)(u8, bx[:2], vl[:2])
+    np.testing.assert_array_equal(np.asarray(out.palette_n)[:2],
+                                  np.asarray(ref.palette_n))
+    np.testing.assert_array_equal(np.asarray(out.palette_ids)[:2],
+                                  np.asarray(ref.palette_ids))
