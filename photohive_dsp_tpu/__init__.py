@@ -36,12 +36,38 @@ def _honor_platform_env() -> None:
 _honor_platform_env()
 
 
+def _machine_fingerprint() -> str:
+    """Short hash of this host's CPU feature flags.
+
+    XLA:CPU AOT cache entries embed the COMPILE machine's features; the
+    loader accepts entries from a different machine type with only a
+    warning ("could lead to execution errors such as SIGILL") — and in
+    practice a cache populated on an avx512/amx host produced both
+    segfault-class crashes and silently slower executables when loaded
+    on a plainer VM.  Salting the cache path per machine type keeps
+    every entry native to the host that compiled it."""
+    import hashlib
+    import platform
+
+    sig = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    sig += " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256(sig.encode()).hexdigest()[:12]
+
+
 def _enable_compilation_cache() -> None:
     """Persist XLA/Mosaic compilations across processes.
 
     First-compile latency for a new image shape is tens of seconds to
     minutes (large fused pipeline + Pallas kernels); the persistent cache
-    makes every later process start warm.  Opt out by setting
+    makes every later process start warm.  The directory is salted per
+    machine type (see _machine_fingerprint).  Opt out by setting
     PHOTOHIVE_NO_COMPILATION_CACHE=1 or pre-configuring the cache dir.
     """
     import os
@@ -54,7 +80,7 @@ def _enable_compilation_cache() -> None:
         if jax.config.jax_compilation_cache_dir is None:
             cache = os.path.join(
                 os.path.expanduser("~"), ".cache", "photohive_dsp_tpu",
-                "jax_cache")
+                f"jax_cache_{_machine_fingerprint()}")
             os.makedirs(cache, exist_ok=True)
             jax.config.update("jax_compilation_cache_dir", cache)
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
