@@ -377,8 +377,46 @@ def test_dp_spatial_pallas_deferred_palette_interpret_smoke():
     # sub-mesh keeps the interpret-mode rendezvous fan-in small (the 8-way
     # version trips XLA:CPU's 40 s collective abort under callback skew).
     m = meshlib.make_mesh(data=2, spatial=2, devices=jax.devices()[:4])
-    fn_xla = build_dp_spatial_report(m, 4, 64, 64, CFG, use_pallas=False)
-    ref = fn_xla(jnp.asarray(imgs, jnp.float32), bb, bv)
+    # The XLA reference runs in a SUBPROCESS: compiling the (large) XLA
+    # dp program and then the interpret-mode program in ONE process
+    # reliably triggers the XLA:CPU segfault described above; one big
+    # compile per process avoids it.
+    import subprocess
+    import sys
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        np.save(os.path.join(td, "imgs.npy"), imgs)
+        code = f"""
+import os, sys
+import numpy as np
+import jax; jax.config.update('jax_platforms', 'cpu')
+import jax.numpy as jnp
+sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+from photohive_dsp_tpu.parallel import mesh as meshlib
+from photohive_dsp_tpu.parallel.spatial import build_dp_spatial_report
+from photohive_dsp_tpu.config import ReportConfig
+imgs = np.load(os.path.join({td!r}, 'imgs.npy'))
+bb = jnp.broadcast_to(jnp.asarray(np.load(os.path.join({td!r}, 'bb.npy'))), (4, 10, 4))
+bv = jnp.broadcast_to(jnp.asarray(np.load(os.path.join({td!r}, 'bv.npy'))), (4, 10))
+m = meshlib.make_mesh(data=2, spatial=2, devices=jax.devices()[:4])
+fn = build_dp_spatial_report(m, 4, 64, 64, ReportConfig(), use_pallas=False)
+ref = fn(jnp.asarray(imgs, jnp.float32), bb, bv)
+np.savez(os.path.join({td!r}, 'ref.npz'),
+         n=np.asarray(ref.palette_n), ids=np.asarray(ref.palette_ids),
+         pct=np.asarray(ref.palette_pct), hsv=np.asarray(ref.palette_hsv))
+"""
+        np.save(os.path.join(td, "bb.npy"), boxes)
+        np.save(os.path.join(td, "bv.npy"), valid)
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        out = subprocess.run([sys.executable, "-c", code], env=env,
+                             capture_output=True, text=True, timeout=420)
+        assert out.returncode == 0, out.stderr[-2000:]
+        ref_npz = np.load(os.path.join(td, "ref.npz"))
+        ref = type("R", (), dict(palette_n=ref_npz["n"],
+                                 palette_ids=ref_npz["ids"],
+                                 palette_pct=ref_npz["pct"],
+                                 palette_hsv=ref_npz["hsv"]))
     with pltpu.force_tpu_interpret_mode():
         fn_pal = build_dp_spatial_report(m, 4, 64, 64, CFG,
                                          use_pallas=True)
