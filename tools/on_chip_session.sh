@@ -27,11 +27,11 @@ import jax; x = jax.numpy.ones((256,256))
 print('probe ok:', (x@x).sum(), jax.default_backend(), jax.devices()[0].device_kind)" \
     || { echo "PROBE FAILED - chip not reachable"; exit 1; }
 
-  echo "--- 1/3 parity ---"
+  echo "--- 1/4 parity ---"
   timeout 1200 python tools/tpu_parity_check.py
   echo "parity rc=$?"
 
-  echo "--- 2/3 bench ---"
+  echo "--- 2/4 bench ---"
   BENCH_OUT=$(mktemp)
   timeout 900 python bench.py | tee "$BENCH_OUT"
   echo "bench rc=$?"
@@ -41,9 +41,13 @@ print('probe ok:', (x@x).sum(), jax.default_backend(), jax.devices()[0].device_k
   echo "floor gate rc=$GATE_RC"
   echo "$GATE_RC" > "$GATE_RC_FILE"
 
-  echo "--- 3/3 ablation + kernel A/B ---"
+  echo "--- 3/4 ablation + kernel A/B ---"
   timeout 1200 python tools/ablate_stages.py 1080 1920 16
   echo "ablate rc=$?"
+
+  echo "--- 4/4 serving artifact on-chip ---"
+  timeout 600 python tools/tpu_serving_check.py
+  echo "serving rc=$?"
 
   echo "=== session done $(date -u +%FT%TZ) ==="
 } 2>&1 | tee -a "$LOG"
