@@ -202,6 +202,10 @@ def measure(deadline: float) -> dict:
         "batch": batch,
         "iters": iters,
     }
+    # Cache the headline number the moment it exists; every later
+    # section re-caches after completing, so a stall anywhere below
+    # still emits everything measured so far.
+    _cache_result(result)
 
     # Photo-like content metric.  Uniform noise (above — kept as `value`
     # for continuity) is this pipeline's WORST case: it populates every
@@ -243,10 +247,9 @@ def measure(deadline: float) -> dict:
         print(f"structured metric skipped: {type(exc).__name__}: {exc}",
               file=sys.stderr)
 
-    # Persist the completed measurement BEFORE the roofline add-on: its
-    # microbenchmarks compile fresh executables, and a tunnel stall there
-    # would otherwise eat the deadline and lose the fresh number to the
-    # stale degraded cache.
+    # Re-cache with the structured metric before the roofline add-on:
+    # its microbenchmarks compile fresh executables, and a tunnel stall
+    # there must not lose anything measured above.
     _cache_result(result)
 
     # Roofline accounting (cheap; skipped if the deadline is close).
