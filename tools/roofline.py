@@ -191,5 +191,12 @@ if __name__ == "__main__":
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # sitecustomize pins the TPU plugin after env resolution; honor
+        # an explicit CPU request (CLAUDE.md) instead of dialing the
+        # possibly-dead tunnel.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     print(json.dumps(roofline_report(1080, 1920, measure_rates=True),
                      indent=2))
