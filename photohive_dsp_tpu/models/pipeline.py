@@ -113,15 +113,26 @@ def full_report_batched(rgb: jnp.ndarray, boxes: jnp.ndarray,
     (``use_pallas=True``), sharing each one-hot bin map across the batch.
     """
     from ..ops.blur import blur_profile_bins_batched
-    from ..ops.quantize import color_palette_batched
+    from ..ops.quantize import (color_palette_batched,
+                                color_palette_batched_from_rgb,
+                                use_rgb_palette_path)
 
     down = jax.vmap(lambda x: downsample_rgb(x, cfg.downsample_rate))(rgb)
-    h, s, v = jax.vmap(lambda x: rgb_to_hsv(x[0], x[1], x[2]))(down)
     pgm = jax.vmap(lambda x: rgb_to_pgm(x[0], x[1], x[2]))(rgb)
 
     stats = jax.vmap(lambda x: rgb_statistics(x[0], x[1], x[2]))(rgb)
-    s_bar = jax.vmap(mean_saturation)(s)
-    palette = color_palette_batched(h, s, v, cfg, tables.octree, use_pallas)
+    if use_rgb_palette_path(use_pallas, down.shape[2], down.shape[3]):
+        # TPU fast path: HSV lives only inside the rgb-native kernels
+        # (never in HBM); the counts kernel also accumulates mean
+        # saturation's numerator.
+        palette, s_sum = color_palette_batched_from_rgb(down, cfg,
+                                                        tables.octree)
+        s_bar = s_sum / jnp.float32(down.shape[2] * down.shape[3])
+    else:
+        h, s, v = jax.vmap(lambda x: rgb_to_hsv(x[0], x[1], x[2]))(down)
+        s_bar = jax.vmap(mean_saturation)(s)
+        palette = color_palette_batched(h, s, v, cfg, tables.octree,
+                                        use_pallas)
     sharp = variance_sharpness_batched(pgm, boxes, boxes_valid)
 
     dc = (stats[:, 0] + stats[:, 1] + stats[:, 2]) / 3.0

@@ -493,6 +493,235 @@ def palette_sums_by_k(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# rgb-native palette kernels (in-kernel HSV, zero input marshalling)
+# ---------------------------------------------------------------------------
+#
+# The flat (B, P) kernels above require flatten -> pad -> reshape input
+# marshalling that XLA materializes as full-plane pad + layout copies
+# (~36 B/px of extra HBM writes measured by tools/hlo_cost.py at 1080p).
+# When the (downsampled) image shape is already tile-aligned — H a
+# multiple of 8 sublanes, W a multiple of 128 lanes, true for every
+# flagship resolution — the kernels can instead read the planarized
+# (B, 3, H, W) float32 rgb directly and compute HSV in-kernel, so the
+# h/s/v planes never exist in HBM at all (they were written and re-read
+# only to feed these kernels; the sole other consumer, mean saturation,
+# is accumulated here too).
+#
+# Parity: _hsv_rows is op-for-op identical to colorspace.rgb_to_hsv, and
+# counts + sums share the ONE Mosaic lowering of it (same rule as
+# _cell_ids_row: a divide-lowering difference vs XLA:TPU cannot desync
+# counts against sums, and tools/tpu_parity_check.py gates the
+# Mosaic-vs-XLA agreement on real hardware).
+
+
+def _lane_chunk(w: int) -> int:
+    """Largest 128-multiple divisor of ``w`` that is <= 1024 lanes.
+
+    Bounds the per-row-chunk VMEM intermediates (the (12*q_pad, chunk)
+    gather GEMM output dominates) at the flat kernels' proven size."""
+    best = 0
+    for lanes in range(128, min(w, 1024) + 1, 128):
+        if w % lanes == 0:
+            best = lanes
+    return best
+
+
+def palette_rgb_eligible(h: int, w: int) -> bool:
+    """True when (h, w) images can use the rgb-native kernels: no padding
+    (8-sublane rows, 128-lane columns) and f32 MXU counts stay exact
+    (< 2^24 pixels per cell)."""
+    return h % _ROWS == 0 and w % 128 == 0 and h * w <= (1 << 24) \
+        and _lane_chunk(w) >= 128
+
+
+def _hsv_rows(r, g, b):
+    """In-kernel HSV, op-for-op identical to colorspace.rgb_to_hsv
+    (reference src/image_processing.c:372-417) so the f32 results match
+    the XLA path bit-for-bit under an IEEE lowering.  Constants are
+    Python floats (Mosaic rejects captured jnp scalars); 0.999999 is
+    config.MAX_SATURATION / MAX_VALUE."""
+    mx = jnp.maximum(jnp.maximum(r, g), b)
+    mn = jnp.minimum(jnp.minimum(r, g), b)
+    delta = mx - mn
+    safe = jnp.where(delta == 0.0, 1.0, delta)
+    h = jnp.where(
+        delta == 0.0,
+        0.0,
+        jnp.where(
+            mx == r,
+            60.0 * ((g - b) / safe),
+            jnp.where(mx == g, 60.0 * (2.0 + (b - r) / safe),
+                      60.0 * (4.0 + (r - g) / safe)),
+        ),
+    )
+    h = jnp.where(h < 0.0, h + 360.0, h)
+    h = jnp.where(h > 360.0, h - 360.0, h)
+    v = jnp.where(mx == 1.0, 0.999999, mx)
+    safe_mx = jnp.where(mx == 0.0, 1.0, mx)
+    s = jnp.where(mx == 0.0, 0.0,
+                  jnp.where(delta == mx, 0.999999, delta / safe_mx))
+    return h, s, v
+
+
+def _rgb_rows(rgb_ref, j, sl):
+    rrow = rgb_ref[0, 0, pl.ds(j, 1), sl]
+    grow = rgb_ref[0, 1, pl.ds(j, 1), sl]
+    brow = rgb_ref[0, 2, pl.ds(j, 1), sl]
+    return _hsv_rows(rrow, grow, brow)
+
+
+def _cell_counts_rgb_kernel(rgb_ref, out_ref, *, num_cells: int, cfg,
+                            wc: int):
+    """Histogram + saturation sum from rgb rows.  Output (C, 4): column 0
+    exact counts (0/1 x 1.0 products), columns 1-3 the bf16-split
+    saturation sums (mean_saturation's numerator, ~2^-24-exact)."""
+    step = pl.program_id(1)
+    c = num_cells
+    w = rgb_ref.shape[3]
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (c, wc), 0)
+    ones = jnp.ones((1, wc), jnp.float32)
+
+    def row(j, acc):
+        for k0 in range(w // wc):
+            sl = slice(k0 * wc, (k0 + 1) * wc)
+            hrow, srow, vrow = _rgb_rows(rgb_ref, j, sl)
+            crow = _cell_ids_row(hrow, srow, vrow, cfg)
+            oh_c = (iota_c == crow).astype(jnp.float32)
+            s1, s2, s3 = _split3(srow)
+            vals = jnp.concatenate([ones, s1, s2, s3], axis=0)  # (4, wc)
+            acc = acc + jax.lax.dot_general(
+                oh_c, vals, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        return acc
+
+    acc = jax.lax.fori_loop(0, rgb_ref.shape[2], row,
+                            jnp.zeros((c, 4), jnp.float32))
+
+    @pl.when(step == 0)
+    def _():
+        out_ref[0] = acc
+
+    @pl.when(step > 0)
+    def _():
+        out_ref[0] += acc
+
+
+def cell_counts_s_from_rgb(rgb: jnp.ndarray, cfg):
+    """(B, 3, H, W) f32 rgb -> ((B, C) int32 cell counts, (B,) f32 sum of
+    the saturation channel).  Requires palette_rgb_eligible(H, W)."""
+    b, _, hh, ww = rgb.shape
+    c = cfg.num_cells
+    wc = _lane_chunk(ww)
+    out = pl.pallas_call(
+        functools.partial(_cell_counts_rgb_kernel, num_cells=c, cfg=cfg,
+                          wc=wc),
+        grid=(b, hh // _ROWS),
+        in_specs=[pl.BlockSpec((1, 3, _ROWS, ww),
+                               lambda bb, i: (bb, 0, i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, c, 4), lambda bb, i: (bb, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, c, 4), jnp.float32),
+    )(rgb)
+    counts = jnp.round(out[..., 0]).astype(jnp.int32)
+    s_sum = jnp.sum(out[..., 1] + out[..., 2] + out[..., 3], axis=-1)
+    return counts, s_sum
+
+
+def _palette_rgb_kernel(rgb_ref, lut_ref, out_ref, *, num_cells: int,
+                        q_pad: int, cfg, wc: int):
+    """Per-pixel parent resolution + palette sums from rgb rows.  The
+    distance/argmin/tie math is identical to _palette_kernel; hsv comes
+    from _hsv_rows and every pixel is real (no pad sentinels on this
+    path), so the in_img machinery drops out."""
+    step = pl.program_id(1)
+    c = num_cells
+    q = q_pad
+    w = rgb_ref.shape[3]
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (c, wc), 0)
+    ones = jnp.ones((1, wc), jnp.float32)
+    split3 = _split3
+
+    def row(j, acc):
+        for k0 in range(w // wc):
+            sl = slice(k0 * wc, (k0 + 1) * wc)
+            hrow, srow, vrow = _rgb_rows(rgb_ref, j, sl)
+            crow = _cell_ids_row(hrow, srow, vrow, cfg)
+            oh_c = (iota_c == crow).astype(jnp.float32)
+            lu = jax.lax.dot_general(
+                lut_ref[0], oh_c, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)       # (12q, wc)
+            candk = lu[0 * q:1 * q] + lu[1 * q:2 * q] + lu[2 * q:3 * q]
+            ch = lu[3 * q:4 * q] + lu[4 * q:5 * q] + lu[5 * q:6 * q]
+            cs = lu[6 * q:7 * q] + lu[7 * q:8 * q] + lu[8 * q:9 * q]
+            cv = lu[9 * q:10 * q] + lu[10 * q:11 * q] + lu[11 * q:12 * q]
+            hd = jnp.abs(hrow - ch)                       # (q, wc)
+            hd = jnp.where(hd > 180.0, 360.0 - hd, hd) \
+                * jnp.float32(1 / 360.0)
+            sd = srow - cs
+            vd = vrow - cv
+            d = hd * hd + sd * sd + vd * vd
+            dm = jnp.where(candk < jnp.float32(c), d, jnp.float32(_BIG))
+            minv = jnp.min(dm, axis=0, keepdims=True)
+            iskmin = dm == minv
+            kstar = jnp.min(jnp.where(iskmin, candk, jnp.float32(c)),
+                            axis=0, keepdims=True)
+            chosen = jnp.logical_and(iskmin, candk == kstar)
+            off = jnp.sum(jnp.where(chosen, jnp.float32(180.0) - ch, 0.0),
+                          axis=0, keepdims=True)
+            oh_k = (iota_c == kstar.astype(jnp.int32)).astype(jnp.float32)
+            temp = hrow + off
+            temp = jnp.where(temp > 360.0, temp - 360.0,
+                             jnp.where(temp < 0.0, temp + 360.0, temp))
+            t1, t2, t3 = split3(temp)
+            s1, s2, s3 = split3(srow)
+            v1, v2, v3 = split3(vrow)
+            vals = jnp.concatenate(
+                [ones, t1, t2, t3, s1, s2, s3, v1, v2, v3,
+                 jnp.zeros((6, wc), jnp.float32)], axis=0)  # (16, wc)
+            acc = acc + jax.lax.dot_general(
+                oh_k, vals, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)       # (C, 16)
+        return acc
+
+    acc = jax.lax.fori_loop(0, rgb_ref.shape[2], row,
+                            jnp.zeros((c, 16), jnp.float32))
+
+    @pl.when(step == 0)
+    def _():
+        out_ref[0] = acc
+
+    @pl.when(step > 0)
+    def _():
+        out_ref[0] += acc
+
+
+def palette_sums_by_k_rgb(rgb: jnp.ndarray, luts: jnp.ndarray,
+                          num_cells: int, q_pad: int, cfg) -> jnp.ndarray:
+    """Palette sums per valid-order slot straight from (B, 3, H, W) rgb:
+    -> (B, C, 4) f32 [sum wrapped-hue, sum s, sum v, count].  Same output
+    contract as palette_sums_by_k; requires palette_rgb_eligible(H, W)."""
+    b, _, hh, ww = rgb.shape
+    c = num_cells
+    wc = _lane_chunk(ww)
+    out = pl.pallas_call(
+        functools.partial(_palette_rgb_kernel, num_cells=c, q_pad=q_pad,
+                          cfg=cfg, wc=wc),
+        grid=(b, hh // _ROWS),
+        in_specs=[
+            pl.BlockSpec((1, 3, _ROWS, ww), lambda bb, i: (bb, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 12 * q_pad, c), lambda bb, i: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, c, 16), lambda bb, i: (bb, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, c, 16), jnp.float32),
+    )(rgb, luts)
+    return _recombine_split_sums(out)
+
+
+# ---------------------------------------------------------------------------
 # margin insertion sort
 # ---------------------------------------------------------------------------
 

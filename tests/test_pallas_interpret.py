@@ -268,6 +268,76 @@ def test_full_pipeline_interpret_nondefault_config():
     assert rel < 1e-6
 
 
+def test_rgb_palette_kernels_interpret(cfg, tables):
+    """The rgb-native kernels (in-kernel HSV + saturation sum) against the
+    XLA path, at a multi-lane-chunk width (1152 -> three 384-lane chunks
+    per row) so the static chunk loop is exercised."""
+    from photohive_dsp_tpu.ops import pallas_kernels as pk
+    assert pk.palette_rgb_eligible(16, 1152)
+    assert pk._lane_chunk(1152) == 384
+    rng = np.random.default_rng(11)
+    rgb = jnp.asarray(rng.random((2, 3, 16, 1152)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        pal, s_sum = quantize.color_palette_batched_from_rgb(rgb, cfg,
+                                                             tables)
+    from photohive_dsp_tpu.ops.colorspace import rgb_to_hsv
+    h, s, v = jax.vmap(lambda x: rgb_to_hsv(x[0], x[1], x[2]))(rgb)
+    slow = quantize.color_palette_batched(h, s, v, cfg, tables, False)
+    assert (np.asarray(pal.parent_ids) == np.asarray(slow.parent_ids)).all()
+    assert np.array_equal(np.asarray(pal.percentages),
+                          np.asarray(slow.percentages))
+    assert np.abs(np.asarray(pal.hsv) - np.asarray(slow.hsv)).max() < 5e-3
+    s_ref = np.asarray(jnp.sum(s, axis=(1, 2)))
+    assert np.abs(np.asarray(s_sum) - s_ref).max() < 1e-6 * s_ref.max()
+
+
+def test_rgb_palette_route_predicate(cfg):
+    """Routing: tile-aligned shapes go rgb-native; others stay flat; the
+    cwide A/B variant never routes rgb-native."""
+    from photohive_dsp_tpu.ops import pallas_kernels as pk
+    assert pk.palette_rgb_eligible(1080, 1920)
+    assert pk.palette_rgb_eligible(2160, 3840)
+    assert pk.palette_rgb_eligible(720, 1280)
+    assert not pk.palette_rgb_eligible(720, 1080)   # 1080 % 128 != 0
+    assert not pk.palette_rgb_eligible(1081, 1920)  # 1081 % 8 != 0
+    assert not pk.palette_rgb_eligible(4320, 7680)  # counts overflow bound
+    assert quantize.use_rgb_palette_path(True, 1080, 1920)
+    assert not quantize.use_rgb_palette_path(False, 1080, 1920)
+    import os
+    os.environ["PHOTOHIVE_PALETTE_KERNEL"] = "cwide"
+    try:
+        assert not quantize.use_rgb_palette_path(True, 1080, 1920)
+    finally:
+        del os.environ["PHOTOHIVE_PALETTE_KERNEL"]
+
+
+def test_full_pipeline_interpret_rgb_route(cfg):
+    """The fused report at a tile-aligned shape (240x384) — the rgb-native
+    kernel route — against the XLA path, including the s_bar-from-kernel
+    numerator."""
+    from photohive_dsp_tpu.models.pipeline import (ReportTables,
+                                                   full_report_batched)
+    from photohive_dsp_tpu.ops import quantize as q
+    assert q.use_rgb_palette_path(True, 240, 384)
+    rng = np.random.default_rng(12)
+    tabs = ReportTables.build(240, 384, cfg)
+    rgb = jnp.asarray(rng.random((2, 3, 240, 384)), jnp.float32)
+    boxes = jnp.zeros((2, 10, 4), jnp.int32).at[:, 0].set(
+        jnp.asarray([40, 200, 60, 300], jnp.int32))
+    valid = jnp.zeros((2, 10), bool).at[:, 0].set(True)
+    with pltpu.force_tpu_interpret_mode():
+        fp = full_report_batched(rgb, boxes, valid, tabs, cfg, True)
+    xp = full_report_batched(rgb, boxes, valid, tabs, cfg, False)
+    assert (np.asarray(fp.palette_ids) == np.asarray(xp.palette_ids)).all()
+    assert np.array_equal(np.asarray(fp.palette_pct),
+                          np.asarray(xp.palette_pct))
+    s_ref = np.asarray(xp.average_saturation)
+    assert np.abs(np.asarray(fp.average_saturation) - s_ref).max() \
+        < 1e-6 * max(1.0, s_ref.max())
+    assert np.array_equal(np.asarray(fp.sharpness),
+                          np.asarray(xp.sharpness))
+
+
 def test_margin_sort_interpret(cfg):
     rng = np.random.default_rng(4)
     sal = jnp.asarray(np.round(rng.random((4, cfg.num_cells)) * 30)

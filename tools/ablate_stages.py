@@ -45,10 +45,27 @@ def build_variant(skip: frozenset, cfg, tables, use_pallas: bool):
         a_bins, r_bins = cfg.angle_partitions, cfg.radius_partitions
 
         down = jax.vmap(lambda x: downsample_rgb(x, cfg.downsample_rate))(rgb)
-        h, s, v = jax.vmap(lambda x: rgb_to_hsv(x[0], x[1], x[2]))(down)
+        if "hsv" in skip:
+            # Constant planes: removes the hsv branch math AND the rgb
+            # read; the palette kernels read (materialized) broadcasts, so
+            # their input marshalling cost stays in the measurement.
+            h = jnp.full(down.shape[0:1] + down.shape[2:], 123.4, jnp.float32)
+            s = jnp.full_like(h, 0.5)
+            v = jnp.full_like(h, 0.5)
+        else:
+            h, s, v = jax.vmap(lambda x: rgb_to_hsv(x[0], x[1], x[2]))(down)
         pgm = jax.vmap(lambda x: rgb_to_pgm(x[0], x[1], x[2]))(rgb)
-        stats = jax.vmap(lambda x: rgb_statistics(x[0], x[1], x[2]))(rgb)
-        s_bar = jax.vmap(mean_saturation)(s)
+        if "stats" in skip:
+            # 128-px sample keeps the data dependence, drops the full-res
+            # two-pass mean/var reads.
+            stats = jnp.mean(rgb[:, :, :4, :32], axis=(2, 3))
+            stats = jnp.concatenate([stats, stats], axis=1)
+        else:
+            stats = jax.vmap(lambda x: rgb_statistics(x[0], x[1], x[2]))(rgb)
+        if "sbar" in skip:
+            s_bar = jnp.mean(s[:, :4, :32], axis=(1, 2))
+        else:
+            s_bar = jax.vmap(mean_saturation)(s)
 
         if "palette" in skip:
             ph = jnp.zeros((b, c, 3)) + s_bar[:, None, None]
@@ -135,7 +152,11 @@ def main():
     base = measure(())
     mp = batch * height * width / 1e6
     print(f"full fused: {base*1000:.1f} ms  ({mp/base:.1f} MP/s)")
-    for stage in ("palette", "sharpness", "fft", "polar", "vectors"):
+    stages = ("palette", "sharpness", "fft", "polar", "vectors",
+              "hsv", "stats", "sbar")
+    if os.environ.get("PHOTOHIVE_ABLATE_STAGES"):
+        stages = tuple(os.environ["PHOTOHIVE_ABLATE_STAGES"].split(","))
+    for stage in stages:
         t = measure((stage,))
         print(f"  -{stage:<10} {t*1000:7.1f} ms   delta {1000*(base-t):+7.1f} ms")
 

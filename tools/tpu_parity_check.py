@@ -81,6 +81,35 @@ def main() -> int:
     check("cell_counts_from_hsv exact (boundary pixels)",
           bool((np.asarray(gothsv) == np.asarray(refhsv)).all()))
 
+    # rgb-native kernels (in-kernel HSV): the Mosaic hsv lowering must
+    # agree with XLA rgb_to_hsv on every pixel for the counts to match
+    # exactly — u8-quantized values like the real ingest path, plus
+    # channel-tie pixels (r==g etc), gray/black threshold neighborhoods.
+    rgbq = jnp.asarray(
+        rng.integers(0, 256, (2, 3, 480, 640)).astype(np.float32) / 255.0)
+    rgbq = rgbq.at[:, 1, :40].set(rgbq[:, 0, :40])      # r==g ties
+    rgbq = rgbq.at[:, :, 40:80].set(rgbq[:, :1, 40:80])  # gray pixels
+    rgbq = rgbq.at[:, :, 80:120].set(0.005)              # near black_thresh
+    from photohive_dsp_tpu.ops.colorspace import rgb_to_hsv
+    hq, sq, vq = jax.vmap(lambda x: rgb_to_hsv(x[0], x[1], x[2]))(rgbq)
+    cntk, s_sum = jax.jit(lambda x: pk.cell_counts_s_from_rgb(x, cfg))(rgbq)
+    cntx = jax.vmap(lambda a, b2, c2: quantize.cell_counts(
+        quantize.assign_cells(a, b2, c2, cfg), cfg.num_cells))(hq, sq, vq)
+    check("rgb-kernel counts exact (in-kernel hsv vs XLA)",
+          bool((np.asarray(cntk) == np.asarray(cntx)).all()))
+    s_ref = np.asarray(jnp.sum(sq, axis=(1, 2)))
+    check("rgb-kernel saturation sum close", bool(
+        np.abs(np.asarray(s_sum) - s_ref).max() < 1e-6 * s_ref.max()))
+    palr, _ = jax.jit(lambda x: quantize.color_palette_batched_from_rgb(
+        x, cfg, tables))(rgbq)
+    palx = jax.jit(lambda *a: quantize.color_palette_batched(
+        *a, cfg, tables, False))(hq, sq, vq)
+    check("rgb-kernel palette ids exact", bool(
+        (np.asarray(palr.parent_ids) == np.asarray(palx.parent_ids)).all()))
+    check("rgb-kernel palette pct exact", bool(np.abs(
+        np.asarray(palr.percentages) - np.asarray(palx.percentages)
+    ).max() == 0.0))
+
     # polar bins
     h_dim, w_dim = 480, 640
     geom = polar_geometry(h_dim, w_dim, cfg.angle_partitions,
