@@ -19,8 +19,10 @@ Driver-survivability design (round-1 failure mode was rc=124, no number):
      degraded rounds.
 
 Measures the on-device compute path: uint8 1080p batches (with crop boxes)
-resident on the chip, full report pipeline per batch, a small result leaf
-synced to host each iteration.  (This dev environment reaches the TPU over
+resident on the chip, full report pipeline per batch, iterations dispatched
+pipelined with one final sync (`value`; the per-step-synced number is
+reported as `synced_mps` — on this tunneled dev host each sync costs a
+~35-40 ms round trip that a real TPU host does not pay).  (This dev environment reaches the TPU over
 a ~1.2 GB/s network tunnel, so host->device streaming is tunnel-bound here;
 on a real TPU host the PCIe link sustains the ~60 MB per uint8 batch easily
 and the corpus driver overlaps uploads with compute.)
@@ -184,12 +186,28 @@ def measure(deadline: float) -> dict:
     print(f"probe iter {iter_s * 1e3:.1f} ms -> {iters} timed iters",
           file=sys.stderr)
 
+    # Sustained (pipelined) throughput: dispatch every iteration, sync
+    # once.  On this dev host each per-iteration sync costs a ~35-40 ms
+    # network-tunnel round trip (tools/dispatch_probe.py: trivial jit
+    # dispatch 33-40 ms; the fused program fits wall = 59 ms fixed +
+    # 1.8 ms/MP), which a real TPU host's ~microsecond dispatch does not
+    # pay.  The device executes queued steps back to back either way, so
+    # the pipelined number is the chip's serving throughput; the fully
+    # synced per-step number is kept alongside for transparency.
     t0 = time.perf_counter()
-    for i in range(iters):
+    outs = [fn(frames[i % 2], dboxes, dvalid) for i in range(iters)]
+    np.asarray(outs[-1].rgb_stats)   # queue drains in order
+    for o in outs:
+        np.asarray(o.blur_bins)      # all steps complete
+    dt = time.perf_counter() - t0
+
+    sync_iters = min(4, iters)
+    t0 = time.perf_counter()
+    for i in range(sync_iters):
         out = fn(frames[i % 2], dboxes, dvalid)
         np.asarray(out.rgb_stats)  # sync the step
     np.asarray(out.blur_bins)
-    dt = time.perf_counter() - t0
+    dt_sync = time.perf_counter() - t0
 
     mps = batch * HEIGHT * WIDTH / 1e6 * iters / dt
     result = {
@@ -201,6 +219,8 @@ def measure(deadline: float) -> dict:
         "pallas": use_pallas,
         "batch": batch,
         "iters": iters,
+        "synced_mps": round(batch * HEIGHT * WIDTH / 1e6 * sync_iters
+                            / dt_sync, 3),
     }
     # Cache the headline number the moment it exists; every later
     # section re-caches after completing, so a stall anywhere below
@@ -235,10 +255,9 @@ def measure(deadline: float) -> dict:
         np.asarray(out.blur_bins)  # warm (cond branch may compile here)
         s_iters = max(3, iters // 2)
         t0 = time.perf_counter()
-        for _ in range(s_iters):
-            out = fn(pframe, dboxes, dvalid)
-            np.asarray(out.rgb_stats)
-        np.asarray(out.blur_bins)
+        souts = [fn(pframe, dboxes, dvalid) for _ in range(s_iters)]
+        for o in souts:
+            np.asarray(o.blur_bins)
         s_mps = batch * HEIGHT * WIDTH / 1e6 * s_iters \
             / (time.perf_counter() - t0)
         result["structured_1080p_mps"] = round(s_mps, 3)
@@ -357,8 +376,8 @@ def _measure_blur_4k(use_pallas: bool, platform: str) -> dict:
     np.asarray(chain(frames[0]))  # warm
     t0 = time.perf_counter()
     iters = 2 if platform == "cpu" else 6
-    for i in range(iters):
-        out = chain(frames[i % 2])
+    outs = [chain(frames[i % 2]) for i in range(iters)]  # pipelined
+    for out in outs:
         np.asarray(out)
     dt = time.perf_counter() - t0
     ms = dt / (iters * batch) * 1e3

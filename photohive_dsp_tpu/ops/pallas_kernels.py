@@ -628,6 +628,121 @@ def cell_counts_s_from_rgb(rgb: jnp.ndarray, cfg):
     return counts, s_sum
 
 
+def palette_offset_lut(assign, tables, num_cells: int) -> jnp.ndarray:
+    """(3, C) LUT for the q=1 kernel: the exact 3-term bf16 split of each
+    CELL's hue offset 180 - center_hue(parent-of-cell).
+
+    Valid only on the q=1 tier (no populated cell tied): every pixel's
+    parent is then a pure function of its cell, so the kernel needs no
+    per-pixel candidate distances at all — just this offset gather.  The
+    same f32 "180 - center_hue" the XLA path and the wide kernel compute."""
+    c = num_cells
+    from .quantize import candidate_slots
+
+    k1 = candidate_slots(assign, c, 1)[:, 0]              # (C,) slot per cell
+    off = 180.0 - tables.centers[assign.order][
+        jnp.minimum(k1, c - 1), 0].astype(jnp.float32)    # (C,)
+    t1, t2, t3 = _trunc_split3(off)
+    return jnp.stack([t1, t2, t3], axis=0)                # (3, C)
+
+
+def parent_slot_matrix(assign, num_cells: int) -> jnp.ndarray:
+    """(C, C) 0/1 remap P with P[k, cell] = 1 iff cell's unique parent is
+    valid-order slot k.  sums_by_k = P @ sums_by_cell (q=1 tier)."""
+    c = num_cells
+    from .quantize import candidate_slots
+
+    k1 = candidate_slots(assign, c, 1)[:, 0]              # (C,)
+    iota_k = jnp.arange(c, dtype=jnp.int32)
+    return (iota_k[:, None] == k1[None, :]).astype(jnp.float32)
+
+
+def _palette_rgb_q1_kernel(rgb_ref, lut_ref, out_ref, *, num_cells: int,
+                           cfg, wc: int):
+    """q=1 palette pass: no populated cell is tied, so the per-pixel
+    parent is a pure cell lookup.  Sums accumulate BY CELL through the
+    one one-hot the kernel already builds (the caller remaps cell -> slot
+    with parent_slot_matrix): the (12*q_pad, C) candidate gather, the
+    distance/argmin math, and the second (slot) one-hot compare all
+    disappear.  MXU work drops from ~12.5k to ~3.7k MAC/px."""
+    step = pl.program_id(1)
+    c = num_cells
+    w = rgb_ref.shape[3]
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (c, wc), 0)
+    ones = jnp.ones((1, wc), jnp.float32)
+    split3 = _split3
+
+    def row(j, acc):
+        for k0 in range(w // wc):
+            sl = slice(k0 * wc, (k0 + 1) * wc)
+            hrow, srow, vrow = _rgb_rows(rgb_ref, j, sl)
+            crow = _cell_ids_row(hrow, srow, vrow, cfg)
+            oh_c = (iota_c == crow).astype(jnp.float32)   # (C, wc)
+            lu = jax.lax.dot_general(
+                lut_ref[0], oh_c, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)       # (3, wc)
+            off = lu[0:1] + lu[1:2] + lu[2:3]             # (1, wc) exact
+            temp = hrow + off
+            temp = jnp.where(temp > 360.0, temp - 360.0,
+                             jnp.where(temp < 0.0, temp + 360.0, temp))
+            t1, t2, t3 = split3(temp)
+            s1, s2, s3 = split3(srow)
+            v1, v2, v3 = split3(vrow)
+            vals = jnp.concatenate(
+                [ones, t1, t2, t3, s1, s2, s3, v1, v2, v3,
+                 jnp.zeros((6, wc), jnp.float32)], axis=0)  # (16, wc)
+            acc = acc + jax.lax.dot_general(
+                oh_c, vals, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)       # (C, 16) by cell
+        return acc
+
+    acc = jax.lax.fori_loop(0, rgb_ref.shape[2], row,
+                            jnp.zeros((c, 16), jnp.float32))
+
+    @pl.when(step == 0)
+    def _():
+        out_ref[0] = acc
+
+    @pl.when(step > 0)
+    def _():
+        out_ref[0] += acc
+
+
+def palette_sums_by_k_rgb_q1(rgb: jnp.ndarray, assign, tables,
+                             num_cells: int, cfg) -> jnp.ndarray:
+    """q=1-tier palette sums from rgb: (B, 3, H, W) -> (B, C, 4) in the
+    valid-order-slot layout (same contract as palette_sums_by_k_rgb).
+    Callers must guarantee the q=1 predicate (no populated cell tied);
+    then every result is identical to the wide kernel's, with the per-bin
+    additions reassociated (counts stay exact integer f32 sums; hue/s/v
+    sums differ by f32 rounding order only, like any shard split)."""
+    b, _, hh, ww = rgb.shape
+    c = num_cells
+    wc = _lane_chunk(ww)
+    luts = jax.vmap(
+        lambda a: palette_offset_lut(a, tables, c))(assign)  # (B, 3, C)
+    out = pl.pallas_call(
+        functools.partial(_palette_rgb_q1_kernel, num_cells=c, cfg=cfg,
+                          wc=wc),
+        grid=(b, hh // _ROWS),
+        in_specs=[
+            pl.BlockSpec((1, 3, _ROWS, ww), lambda bb, i: (bb, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, c), lambda bb, i: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, c, 16), lambda bb, i: (bb, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, c, 16), jnp.float32),
+    )(rgb, luts)
+    by_cell = _recombine_split_sums(out)                  # (B, C, 4)
+    perm = jax.vmap(lambda a: parent_slot_matrix(a, c))(assign)
+    # 0/1 x f32 products are exact; HIGHEST keeps the K=C contraction's
+    # f32 adds unrounded (each output element sums disjoint cell rows).
+    return jnp.einsum("bkc,bcq->bkq", perm, by_cell,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 def _palette_rgb_kernel(rgb_ref, lut_ref, out_ref, *, num_cells: int,
                         q_pad: int, cfg, wc: int):
     """Per-pixel parent resolution + palette sums from rgb rows.  The

@@ -544,13 +544,24 @@ def color_palette_batched_from_rgb(down: jnp.ndarray, cfg: ReportConfig,
             return pk.palette_sums_by_k_rgb(down, luts, c, q_pad, cfg)
         return body
 
+    def run_q1(_):
+        # No populated cell tied: parent is a pure cell lookup, sums
+        # accumulate by cell (single one-hot, ~3.4x less MXU work) and
+        # are remapped to slots outside the kernel.
+        return pk.palette_sums_by_k_rgb_q1(down, assign, tables, c, cfg)
+
+    # Tier switch on the batch's actual tie structure (the XLA
+    # counterpart is palette_q_tiers): candidate count only matters for
+    # cells that hold pixels.
+    ncand = jnp.sum(assign.allowed, axis=-1)               # (B, C)
+    q_needed = jnp.max(jnp.where(counts > 0, ncand, 0))
     if q_full == q_small:
-        sums_by_k = run(q_full)(None)
+        sums_by_k = jax.lax.cond(q_needed <= 1, run_q1, run(q_full), None)
     else:
-        ncand = jnp.sum(assign.allowed, axis=-1)           # (B, C)
-        q_needed = jnp.max(jnp.where(counts > 0, ncand, 0))
-        sums_by_k = jax.lax.cond(q_needed <= q_small, run(q_small),
-                                 run(q_full), None)
+        idx = ((q_needed > 1).astype(jnp.int32)
+               + (q_needed > q_small).astype(jnp.int32))
+        sums_by_k = jax.lax.switch(idx, [run_q1, run(q_small),
+                                         run(q_full)], None)
     palette = jax.vmap(
         lambda sk, a: palette_finalize_by_k(sk, a, total_pixels, tables)
     )(sums_by_k, assign)

@@ -291,6 +291,37 @@ def test_rgb_palette_kernels_interpret(cfg, tables):
     assert np.abs(np.asarray(s_sum) - s_ref).max() < 1e-6 * s_ref.max()
 
 
+def test_rgb_palette_q1_kernel_interpret(cfg, tables):
+    """The q=1-tier rgb kernel (sums by cell + slot remap): a low-color
+    structured image with no tied populated cell must produce ids/pct
+    identical to the XLA path through the q1 branch."""
+    rng = np.random.default_rng(4)
+    yg, xg = np.mgrid[0:64, 0:384].astype(np.float32)
+    r = 0.25 + 0.5 * (xg / 384)
+    g = 0.25 + 0.5 * (yg / 64)
+    b = 0.4 + 0 * xg
+    rgb = np.stack([np.stack([r, g, b]) for _ in range(2)])
+    rgb = np.clip(rgb + rng.normal(0, 0.005, rgb.shape), 0, 1)
+    rgbj = jnp.asarray(rgb, jnp.float32)
+    from photohive_dsp_tpu.ops.colorspace import rgb_to_hsv
+    h, s, v = jax.vmap(lambda x: rgb_to_hsv(x[0], x[1], x[2]))(rgbj)
+    cells = jax.vmap(lambda a, b2, c2: quantize.assign_cells(
+        a, b2, c2, cfg))(h, s, v).reshape(2, -1)
+    counts = jax.vmap(lambda x: quantize.cell_counts(
+        x, cfg.num_cells))(cells)
+    assign = jax.vmap(lambda cnt: quantize.parent_assignment(
+        cnt, 64 * 384, cfg, tables))(counts)
+    ncand = jnp.sum(assign.allowed, axis=-1)
+    assert int(jnp.max(jnp.where(counts > 0, ncand, 0))) == 1  # q1 branch
+    with pltpu.force_tpu_interpret_mode():
+        pal, _ = quantize.color_palette_batched_from_rgb(rgbj, cfg, tables)
+    slow = quantize.color_palette_batched(h, s, v, cfg, tables, False)
+    assert (np.asarray(pal.parent_ids) == np.asarray(slow.parent_ids)).all()
+    assert np.array_equal(np.asarray(pal.percentages),
+                          np.asarray(slow.percentages))
+    assert np.abs(np.asarray(pal.hsv) - np.asarray(slow.hsv)).max() < 5e-3
+
+
 def test_rgb_palette_route_predicate(cfg):
     """Routing: tile-aligned shapes go rgb-native; others stay flat; the
     cwide A/B variant never routes rgb-native."""
