@@ -101,24 +101,43 @@ def measure_device_rates() -> Dict[str, float]:
     try:
         with open(RATES_CACHE) as f:
             cache = json.load(f)
-        if cache.get("kind") == kind:
+        # v2 = round-trip-compensated measurement (see below); stale v1
+        # caches carried tunnel-polluted rates and are remeasured.
+        if cache.get("kind") == kind and cache.get("v") == 2:
             return cache
     except (OSError, ValueError):
         pass
 
-    def timed(f, *args, iters=8):
+    # On this dev environment the chip sits behind a network tunnel whose
+    # dispatch+sync round trip is 33-40 ms (tools/dispatch_probe.py).  A
+    # short timed loop therefore underestimates every rate by whatever
+    # fraction of the window the round trip eats (observed: the same
+    # microbenchmarks reporting 81 vs 47 GB/s run to run).  Mitigations:
+    # enough queued iterations that true work >> one round trip, a
+    # measured null-dispatch baseline subtracted from the window, and
+    # best-of-3 repeats (pollution only ever slows a run down).
+    def timed(f, *args, iters=32):
         out = f(*args)
         jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = f(*args)
-        jax.block_until_ready(out)
-        return (time.perf_counter() - t0) / iters
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = f(*args)
+            jax.block_until_ready(out)
+            best = min(best, time.perf_counter() - t0)
+        return best / iters
+
+    null = timed(jax.jit(lambda x: x + 1.0),
+                 jnp.ones((8, 128), jnp.float32), iters=64)
+
+    def per_iter(f, *args, iters):
+        return max(timed(f, *args, iters=iters) - null, 1e-9)
 
     # HBM: streaming scale (read 4 B + write 4 B per element).
     n = 32 * 1024 * 1024
     x = jnp.ones((n,), jnp.float32)
-    t = timed(jax.jit(lambda x: x * 1.0000001 + 1.0), x)
+    t = per_iter(jax.jit(lambda x: x * 1.0000001 + 1.0), x, iters=32)
     hbm = 8.0 * n / t
 
     # VPU: 64-deep fma chain that re-reads x each step (not collapsible
@@ -132,16 +151,26 @@ def measure_device_rates() -> Dict[str, float]:
 
     m = 8 * 1024 * 1024
     xm = jnp.ones((m,), jnp.float32)
-    t = timed(jax.jit(chain), xm)
+    t = per_iter(jax.jit(chain), xm, iters=64)
     vpu = 128.0 * m / t
 
     # MXU: 4096^3 bf16 matmul.
     k = 4096
     a = jnp.ones((k, k), jnp.bfloat16)
-    t = timed(jax.jit(lambda a: a @ a), a, iters=4)
+    t = per_iter(jax.jit(lambda a: a @ a), a, iters=32)
     mxu = 2.0 * k ** 3 / t
 
-    rates = {"kind": kind, "hbm": hbm, "vpu": vpu, "mxu": mxu}
+    rates = {"kind": kind, "hbm": hbm, "vpu": vpu, "mxu": mxu, "v": 2}
+    # Merge with any cached measurement, keeping the best per resource:
+    # these are capability numbers and interference only lowers them.
+    try:
+        with open(RATES_CACHE) as f:
+            prev = json.load(f)
+        if prev.get("kind") == kind:
+            for key in ("hbm", "vpu", "mxu"):
+                rates[key] = max(rates[key], prev.get(key, 0.0))
+    except (OSError, ValueError):
+        pass
     try:
         with open(RATES_CACHE, "w") as f:
             json.dump(rates, f)
