@@ -308,12 +308,33 @@ def measure(deadline: float) -> dict:
     # bucketing + padded batching + per-bucket executables end to end).
     if deadline - time.perf_counter() > addon_margin:
         try:
+            result.update(_measure_host_link())
+        except Exception as exc:  # noqa: BLE001 — never lose the number
+            print(f"link probe skipped: {type(exc).__name__}: {exc}",
+                  file=sys.stderr)
+        try:
             result.update(_measure_mixed_res(platform))
         except Exception as exc:  # noqa: BLE001 — never lose the number
             print(f"mixed-res bench skipped: {type(exc).__name__}: {exc}",
                   file=sys.stderr)
         _cache_result(result)
     return result
+
+
+def _measure_host_link() -> dict:
+    """Host->device transfer rate (one 32 MB uint8 put).  The streaming
+    metrics below are bound by this on tunneled dev hosts — nominal
+    ~1.2 GB/s here, but observed sagging to 16-45 MB/s for minutes at a
+    time — so the link rate is reported alongside to make degraded
+    corpus numbers attributable (a real TPU host's PCIe sustains GB/s)."""
+    import jax
+
+    buf = np.zeros((32 * 1024 * 1024,), np.uint8)
+    jax.device_put(buf[:1024]).block_until_ready()  # path warm-up
+    t0 = time.perf_counter()
+    jax.device_put(buf).block_until_ready()
+    dt = time.perf_counter() - t0
+    return {"host_link_mbs": round(buf.nbytes / 1e6 / dt, 1)}
 
 
 def _measure_mixed_res(platform: str) -> dict:

@@ -310,9 +310,19 @@ def _trunc_split3(x: jnp.ndarray):
     return t1, t2, r - t2
 
 
+def lut_sections(num_cells: int) -> int:
+    """Sections in the candidate LUT: candidate slot values are integers
+    <= C (sentinel included), exactly representable in ONE bf16 term when
+    C <= 256, so the slot quantity needs no 3-way split there — the
+    gather GEMM's M dim shrinks from 12*q_pad to 10*q_pad (~17% of the
+    palette kernel's dominant MXU cost)."""
+    return 10 if num_cells <= 256 else 12
+
+
 def palette_candidate_lut(assign, tables, num_cells: int,
                           q_pad: int) -> jnp.ndarray:
-    """Per-image candidate LUT for the palette kernel, shape (12*q_pad, C).
+    """Per-image candidate LUT for the palette kernel, shape
+    (lut_sections(C)*q_pad, C).
 
     Every cell's nearest-parent candidates are exactly its row of
     ``assign.allowed`` (one entry for untied cells — their unique parent;
@@ -326,13 +336,15 @@ def palette_candidate_lut(assign, tables, num_cells: int,
     sublane multiple) bounds the candidate count: candidates all share one
     distance-rank value, so no cell exceeds the largest equal-rank group.
 
-    Four quantities, each stored as its exact 3-term bf16 decomposition
-    (q_pad rows per term, indexed [q, cell]; sentinel slots: k = C, centers
-    0): candidate slot k (ascending), center hue, center sat, center val.
-    The 12 sections let the kernel gather everything with ONE single-pass
-    bf16 GEMM against the cell one-hot, bit-exactly (see _trunc_split3);
-    the hue offset is recomputed in-kernel as 180 - center_hue, the same
-    f32 subtraction the XLA path applies to the same center value.
+    Four quantities, each stored bf16-exactly (q_pad rows per term,
+    indexed [q, cell]; sentinel slots: k = C, centers 0): candidate slot
+    k (ascending) — ONE term when C <= 256 (small integers are bf16-
+    exact), the 3-term truncation split otherwise — then center hue,
+    sat, val as exact 3-term decompositions.  The sections let the
+    kernel gather everything with ONE single-pass bf16 GEMM against the
+    cell one-hot, bit-exactly (see _trunc_split3); the hue offset is
+    recomputed in-kernel as 180 - center_hue, the same f32 subtraction
+    the XLA path applies to the same center value.
     """
     from .quantize import candidate_slots
 
@@ -342,14 +354,28 @@ def palette_candidate_lut(assign, tables, num_cells: int,
     cand_k = candidate_slots(assign, c, q_pad)                 # ascending k
     safe = jnp.minimum(cand_k, c - 1)
     real = (cand_k < c).astype(jnp.float32)                    # (C, q_pad)
-    quantities = [
-        cand_k.astype(jnp.float32),
-        centers_by_k[safe, 0] * real,
-        centers_by_k[safe, 1] * real,
-        centers_by_k[safe, 2] * real,
-    ]
-    sections = [t for qty in quantities for t in _trunc_split3(qty)]
+    candf = cand_k.astype(jnp.float32)
+    sections = [candf] if lut_sections(c) == 10 \
+        else list(_trunc_split3(candf))
+    for qty in (centers_by_k[safe, 0] * real,
+                centers_by_k[safe, 1] * real,
+                centers_by_k[safe, 2] * real):
+        sections.extend(_trunc_split3(qty))
     return jnp.concatenate([sec.T for sec in sections], axis=0)
+
+
+def _decode_lut(lu: jnp.ndarray, q: int, num_cells: int):
+    """Recombine the gathered LUT sections -> (candk, ch, cs, cv), each
+    (q, chunk).  Section layout must match palette_candidate_lut."""
+    o = 1 if lut_sections(num_cells) == 10 else 3
+    candk = lu[0:q] if o == 1 else lu[0:q] + lu[q:2 * q] + lu[2 * q:3 * q]
+    ch = lu[o * q:(o + 1) * q] + lu[(o + 1) * q:(o + 2) * q] \
+        + lu[(o + 2) * q:(o + 3) * q]
+    cs = lu[(o + 3) * q:(o + 4) * q] + lu[(o + 4) * q:(o + 5) * q] \
+        + lu[(o + 5) * q:(o + 6) * q]
+    cv = lu[(o + 6) * q:(o + 7) * q] + lu[(o + 7) * q:(o + 8) * q] \
+        + lu[(o + 8) * q:(o + 9) * q]
+    return candk, ch, cs, cv
 
 
 def _cell_ids_row(hrow, srow, vrow, cfg) -> jnp.ndarray:
@@ -409,11 +435,8 @@ def _palette_kernel(h_ref, s_ref, v_ref, lut_ref, out_ref, *,
         # each output element has exactly one contributing term.
         lu = jax.lax.dot_general(
             lut_ref[0], oh_c, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)           # (12q, CHUNK)
-        candk = lu[0 * q:1 * q] + lu[1 * q:2 * q] + lu[2 * q:3 * q]
-        ch = lu[3 * q:4 * q] + lu[4 * q:5 * q] + lu[5 * q:6 * q]
-        cs = lu[6 * q:7 * q] + lu[7 * q:8 * q] + lu[8 * q:9 * q]
-        cv = lu[9 * q:10 * q] + lu[10 * q:11 * q] + lu[11 * q:12 * q]
+            preferred_element_type=jnp.float32)           # (ns*q, CHUNK)
+        candk, ch, cs, cv = _decode_lut(lu, q, c)
         # Distance to each candidate; identical f32 ops to the XLA
         # pixel pass (quantize.palette_pixel_sums), so ties break
         # bit-identically.
@@ -467,7 +490,7 @@ def palette_sums_by_k(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray,
     """Palette sums per valid-order slot: (B, P) pixels -> (B, C, 4) f32 of
     [sum wrapped-hue, sum s, sum v, count] — the valid_parents layout that
     quantize.palette_finalize_by_k consumes.  ``luts`` is the batched
-    (B, 12*q_pad, C) output of palette_candidate_lut.  Cell ids are
+    (B, lut_sections(C)*q_pad, C) output of palette_candidate_lut.  Cell ids are
     recomputed in-kernel (_cell_ids_row) — no (B, P) cells input; padded
     pixels are marked by the hue fill sentinel -1."""
     b = h.shape[0]
@@ -478,7 +501,7 @@ def palette_sums_by_k(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray,
 
     pix = pl.BlockSpec((1, _ROWS, _CHUNK), lambda bb, i: (bb, i, 0),
                        memory_space=pltpu.VMEM)
-    lut = pl.BlockSpec((1, 12 * q_pad, c), lambda bb, i: (bb, 0, 0),
+    lut = pl.BlockSpec((1, lut_sections(c) * q_pad, c), lambda bb, i: (bb, 0, 0),
                        memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_palette_kernel, num_cells=c, q_pad=q_pad,
@@ -765,11 +788,8 @@ def _palette_rgb_kernel(rgb_ref, lut_ref, out_ref, *, num_cells: int,
             oh_c = (iota_c == crow).astype(jnp.float32)
             lu = jax.lax.dot_general(
                 lut_ref[0], oh_c, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)       # (12q, wc)
-            candk = lu[0 * q:1 * q] + lu[1 * q:2 * q] + lu[2 * q:3 * q]
-            ch = lu[3 * q:4 * q] + lu[4 * q:5 * q] + lu[5 * q:6 * q]
-            cs = lu[6 * q:7 * q] + lu[7 * q:8 * q] + lu[8 * q:9 * q]
-            cv = lu[9 * q:10 * q] + lu[10 * q:11 * q] + lu[11 * q:12 * q]
+                preferred_element_type=jnp.float32)       # (ns*q, wc)
+            candk, ch, cs, cv = _decode_lut(lu, q, c)
             hd = jnp.abs(hrow - ch)                       # (q, wc)
             hd = jnp.where(hd > 180.0, 360.0 - hd, hd) \
                 * jnp.float32(1 / 360.0)
@@ -826,7 +846,7 @@ def palette_sums_by_k_rgb(rgb: jnp.ndarray, luts: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((1, 3, _ROWS, ww), lambda bb, i: (bb, 0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 12 * q_pad, c), lambda bb, i: (bb, 0, 0),
+            pl.BlockSpec((1, lut_sections(c) * q_pad, c), lambda bb, i: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, c, 16), lambda bb, i: (bb, 0, 0),
