@@ -266,6 +266,39 @@ def measure(deadline: float) -> dict:
         print(f"structured metric skipped: {type(exc).__name__}: {exc}",
               file=sys.stderr)
 
+    # Marginal (dispatch-overhead-free) throughput: the tunnel serializes
+    # dispatches (queued iterations measure the same as synced ones), so
+    # the chip's true sustained rate only shows in the batch-size slope:
+    # marginal = d(MP)/d(wall) between the batch and batch/2 programs.
+    # This is what a real TPU host (with ~us dispatch) would sustain.
+    try:
+        half = batch // 2
+        fnh = build_fn(cfg, HEIGHT, WIDTH, use_pallas)
+        hframe = frames[0][:half]
+        out = fnh(hframe, dboxes[:half], dvalid[:half])
+        np.asarray(out.blur_bins)  # compile+warm
+
+        def best_of(f, fr, bx, vl, n=8):
+            best = float("inf")
+            for _ in range(n):
+                t0 = time.perf_counter()
+                o = f(fr, bx, vl)
+                np.asarray(o.rgb_stats)
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        t_full = best_of(fn, frames[1], dboxes, dvalid)
+        t_half = best_of(fnh, hframe, dboxes[:half], dvalid[:half])
+        if t_full > t_half:
+            marg = (batch - half) * HEIGHT * WIDTH / 1e6 \
+                / (t_full - t_half)
+            result["marginal_mps"] = round(marg, 1)
+            print(f"marginal (batch {half}->{batch}): {marg:.1f} MP/s",
+                  file=sys.stderr)
+    except Exception as exc:  # noqa: BLE001 — never lose the number
+        print(f"marginal metric skipped: {type(exc).__name__}: {exc}",
+              file=sys.stderr)
+
     # Re-cache with the structured metric before the roofline add-on:
     # its microbenchmarks compile fresh executables, and a tunnel stall
     # there must not lose anything measured above.
@@ -279,6 +312,14 @@ def measure(deadline: float) -> dict:
             result["roofline_mps"] = round(roof["roofline_mps"], 1)
             result["roofline_frac"] = round(mps / roof["roofline_mps"], 4)
             result["roofline_bound"] = roof["bound"]
+            # Parity-constrained ceiling (tools/roofline.py derivation):
+            # fraction uses the least-dispatch-polluted throughput we
+            # have — the marginal rate when measured, else the headline.
+            par = roof.get("roofline_parity_mps")
+            if par:
+                num = result.get("marginal_mps", mps)
+                result["roofline_parity_mps"] = round(par, 1)
+                result["roofline_parity_frac"] = round(num / par, 4)
             print("roofline:", json.dumps(roof), file=sys.stderr)
         except Exception as exc:  # noqa: BLE001 — never lose the number
             print(f"roofline skipped: {type(exc).__name__}: {exc}",

@@ -94,12 +94,15 @@ def _polar_kernel(ids_ref, v_ref, out_ref, *, num_bins: int):
     # Instead of the exact-but-6-pass HIGHEST, split the values into three
     # bf16-exact terms: every product against the 0/1 one-hot is then exact
     # in ONE pass (the f32 accumulator sums ~2^-24-exact contributions).
-    v = v_ref[...]                                       # (CHUNK, B)
+    v = v_ref[...]                                       # (B, CHUNK)
     hi = v.astype(jnp.bfloat16).astype(jnp.float32)
     r = v - hi
     mid = r.astype(jnp.bfloat16).astype(jnp.float32)
-    v3 = jnp.concatenate([hi, mid, r - mid], axis=1)     # (CHUNK, 3B)
-    part = jax.lax.dot_general(onehot, v3, (((1,), (0,)), ((), ())),
+    v3 = jnp.concatenate([hi, mid, r - mid], axis=0)     # (3B, CHUNK)
+    # Contract on the lane (pixel) dim for BOTH operands: the values stay
+    # in their natural (B, P) layout, so the wrapper never transposes the
+    # whole spectrum in HBM.
+    part = jax.lax.dot_general(onehot, v3, (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
 
     @pl.when(step == 0)
@@ -118,12 +121,14 @@ def polar_bin_sums(vals: jnp.ndarray, bin_ids: jnp.ndarray,
     The bin-id table is shared across the batch (shape-static), so each
     VMEM one-hot chunk amortizes over all B images: per 512-pixel chunk the
     (num_bins, 512) one-hot is built in VMEM and contracted with the
-    (512, B) value slab on the MXU — no scatter, no HBM one-hot.
+    (B, 512) value slab on the MXU — no scatter, no HBM one-hot, no
+    spectrum transpose (the contraction runs on the lane dim of both
+    operands).
     """
     b, p = vals.shape
     nb = -(-num_bins // 8) * 8
     ids = _pad_to(bin_ids.astype(jnp.int32), _POLAR_CHUNK, 0, nb)
-    vals_t = _pad_to(vals.T, _POLAR_CHUNK, 0, 0.0)       # (Ppad, B)
+    vals_p = _pad_to(vals, _POLAR_CHUNK, 1, 0.0)         # (B, Ppad)
     n_chunks = ids.shape[0] // _POLAR_CHUNK
 
     out = pl.pallas_call(
@@ -132,14 +137,15 @@ def polar_bin_sums(vals: jnp.ndarray, bin_ids: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((1, 1, _POLAR_CHUNK), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_POLAR_CHUNK, b), lambda i: (i, 0),
+            pl.BlockSpec((b, _POLAR_CHUNK), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((nb, 3 * b), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nb, 3 * b), jnp.float32),
-    )(ids.reshape(n_chunks, 1, _POLAR_CHUNK), vals_t)
-    # Recombine the hi/mid/lo split columns.
+    )(ids.reshape(n_chunks, 1, _POLAR_CHUNK), vals_p)
+    # Recombine the hi/mid/lo split columns: section s of the 3B output
+    # columns holds term s of image b at column s * b + b_idx.
     out = out[:num_bins, :b] + out[:num_bins, b:2 * b] + out[:num_bins, 2 * b:]
     return out.T                                         # (B, num_bins)
 

@@ -75,6 +75,29 @@ DATASHEET = {
 BYTES_PER_PX = 22.0
 VPU_OPS_PER_PX = 168.0
 
+# Parity-constrained per-pixel costs: the pass structure that the
+# bit-exact reference semantics force on THIS design, assuming perfect
+# fusion and zero redundant materialization (each term is a distinct
+# producer/consumer that cannot share a pass without changing results
+# or requiring a fused mega-kernel the parity machinery precludes):
+#   u8 ingest read                                    3
+#   planarize f32 rgb write                          12
+#   stats/pgm pass: rgb read 12, pgm write 4         16
+#   stats variance pass (two-pass semantics): read   12
+#   palette histogram kernel: rgb read               12
+#   palette sums kernel: rgb read                    12
+#   sharpness: pgm read 4, response w+r 8            12
+#   FFT: pgm read 4, row-FFT half-spectrum w 8,
+#        col-FFT r+w 16, |.|^2+normalize w 4         32
+#   polar binning: spectrum read                      4
+# total ~115 B/px.  MXU: the palette candidate gather + slot-sum GEMMs
+# at the common q=8 tier, ~12.2k MAC/px = 24.4k flop/px (SPEED.md), vs
+# the FFT-only 105 of the idealized model.  VPU: the 2x cell-width
+# one-hot compares + hsv/cell/tie math, ~500 ops/px.
+PARITY_BYTES_PER_PX = 115.0
+PARITY_MXU_FLOPS_PER_PX = 24400.0
+PARITY_VPU_OPS_PER_PX = 500.0
+
 
 def _mxu_flops_per_px(height: int, width: int) -> float:
     import math
@@ -201,6 +224,16 @@ def roofline_report(height: int, width: int,
     }
     bound = max(t_px, key=t_px.get)
     roofline_mps = 1e-6 / t_px[bound]
+    # Parity-constrained ceiling: same rates, but the HBM/MXU costs of
+    # the pass structure the bit-exact reference semantics force on this
+    # design (perfect fusion assumed, zero redundant materialization) —
+    # see PARITY_BYTES_PER_PX / PARITY_MXU_FLOPS_PER_PX derivations.
+    tp_px = {
+        "hbm": PARITY_BYTES_PER_PX / hbm,
+        "vpu": PARITY_VPU_OPS_PER_PX / vpu,
+        "mxu": PARITY_MXU_FLOPS_PER_PX / mxu,
+    }
+    pbound = max(tp_px, key=tp_px.get)
     return {
         "device_kind": kind,
         "rates_source": source,
@@ -212,6 +245,8 @@ def roofline_report(height: int, width: int,
         "mxu_flops_per_px": round(mxu_px, 1),
         "bound": bound,
         "roofline_mps": roofline_mps,
+        "parity_bound": pbound,
+        "roofline_parity_mps": 1e-6 / tp_px[pbound],
     }
 
 
