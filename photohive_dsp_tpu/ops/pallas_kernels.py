@@ -88,17 +88,25 @@ def _polar_kernel(ids_ref, v_ref, out_ref, *, num_bins: int):
     step = pl.program_id(0)
     ids = ids_ref[0]                                     # (1, CHUNK) int32
     iota = jax.lax.broadcasted_iota(jnp.int32, (num_bins, _POLAR_CHUNK), 0)
-    onehot = (iota == ids).astype(jnp.float32)           # (NB, CHUNK)
+    # One-hot materialized in bf16 (the dtype the MXU ingests anyway):
+    # the compare stays int32 (this target has no bf16 compare); only the
+    # 0/1 select output is bf16, halving the vregs written for the
+    # (NB, CHUNK) one-hot — the polar kernel's dominant VPU cost.
+    onehot = (iota == ids).astype(jnp.bfloat16)          # (NB, CHUNK)
     # Mosaic's default f32 matmul is a single bf16 pass, which rounds the
     # values (and was observed mis-summing large-M one-hot contractions).
     # Instead of the exact-but-6-pass HIGHEST, split the values into three
     # bf16-exact terms: every product against the 0/1 one-hot is then exact
     # in ONE pass (the f32 accumulator sums ~2^-24-exact contributions).
+    # Each term is materialized in bf16 directly — hi and mid are bf16
+    # roundtrips by construction, and the residual gets the exact same
+    # single rounding the bf16 MXU pass applied to it before.
     v = v_ref[...]                                       # (B, CHUNK)
-    hi = v.astype(jnp.bfloat16).astype(jnp.float32)
-    r = v - hi
-    mid = r.astype(jnp.bfloat16).astype(jnp.float32)
-    v3 = jnp.concatenate([hi, mid, r - mid], axis=0)     # (3B, CHUNK)
+    hi = v.astype(jnp.bfloat16)
+    r = v - hi.astype(jnp.float32)
+    mid = r.astype(jnp.bfloat16)
+    lo = (r - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    v3 = jnp.concatenate([hi, mid, lo], axis=0)          # (3B, CHUNK) bf16
     # Contract on the lane (pixel) dim for BOTH operands: the values stay
     # in their natural (B, P) layout, so the wrapper never transposes the
     # whole spectrum in HBM.

@@ -1,0 +1,308 @@
+"""bf16-operand / full-sublane variants of the rgb-native palette kernels.
+
+Same math, same results as ops/pallas_kernels.py's rgb kernels (reference
+semantics cited there; src/color_quantization.c:108-576) — this module only
+restructures the per-row work for VPU issue efficiency, the measured
+bottleneck (SPEED.md: the kernels run well above both their MXU and VPU
+instruction costs; most vector ops were (1, lanes)-shaped, using 1/8 of the
+VPU's sublanes, and every one-hot/LUT/value operand was f32, doubling the
+vector registers each select/concat touches).
+
+Two changes, both value-preserving:
+
+1. **bf16 operands for everything the MXU consumes.**  DEFAULT-precision
+   f32 dot_general is already a single bf16 MXU pass — the inputs get
+   rounded to bf16 inside the unit regardless.  Materializing the one-hots,
+   the candidate LUT (bf16-exact split terms by construction), and the
+   value rows (bf16-exact split terms) in bf16 is therefore bit-identical
+   to what the hardware computed before, while halving the vregs written
+   per select/concat (f32 tiles are (8, 128); bf16 tiles are (16, 128)).
+   Comparisons stay int32/f32 — this target's VPU has no bf16 compare
+   ("Target does not support this comparison"); only the select output and
+   the dot operands are bf16.
+
+2. **Full-sublane elementwise math.**  HSV conversion, cell assignment and
+   the value splits are computed once per (_ROWS, W) block at 8-sublane
+   utilization and statically sliced per row-chunk, instead of being
+   recomputed on (1, lanes) rows at 1/8 utilization.  The loops over rows
+   and lane chunks are Python-unrolled (static value slices; Mosaic
+   handles dynamic sublane slicing of values poorly).
+
+Parity: products against 0/1 one-hots of bf16-exact terms are exact, the
+f32 accumulator is unchanged, and the distance/argmin/tie math stays in
+f32 — op-for-op the same as pallas_kernels._palette_rgb_kernel, which the
+tests pin (tests/test_pallas_interpret.py) and tools/tpu_parity_check.py
+gates on silicon.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_kernels import (_BIG, _ROWS, _cell_ids_row, _hsv_rows,
+                             _lane_chunk, _recombine_split_sums, _split3,
+                             lut_sections)
+
+
+def _hsv_cells_block(rgb_ref, cfg):
+    """HSV + cell ids for the whole (_ROWS, W) block at full sublane
+    utilization.  Op-for-op the same math as _hsv_rows/_cell_ids_row."""
+    r = rgb_ref[0, 0]                                     # (_ROWS, W)
+    g = rgb_ref[0, 1]
+    b = rgb_ref[0, 2]
+    h, s, v = _hsv_rows(r, g, b)
+    cells = _cell_ids_row(h, s, v, cfg)
+    return h, s, v, cells
+
+
+def _onehot_bf16(iota_i32, ids_row):
+    """(C, wc) bf16 one-hot from an int32 iota and an int32 id row.  The
+    compare runs in int32 (no bf16 compare on this target); only the 0/1
+    select output is bf16 — half the vreg writes and the dtype the MXU
+    ingests anyway."""
+    return (iota_i32 == ids_row).astype(jnp.bfloat16)
+
+
+def _cell_counts_rgb_kernel_bf16(rgb_ref, out_ref, *, num_cells: int, cfg,
+                                 wc: int):
+    """Histogram + saturation sum; see _cell_counts_rgb_kernel."""
+    step = pl.program_id(1)
+    c = num_cells
+    w = rgb_ref.shape[3]
+    rows = rgb_ref.shape[2]
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (c, wc), 0)
+    ones = jnp.ones((1, wc), jnp.float32)
+
+    h8, s8, v8, c8 = _hsv_cells_block(rgb_ref, cfg)
+    sp1, sp2, sp3 = _split3(s8)
+
+    acc = jnp.zeros((c, 4), jnp.float32)
+    for j in range(rows):
+        for k0 in range(w // wc):
+            sl = slice(k0 * wc, (k0 + 1) * wc)
+            oh_c = _onehot_bf16(iota_c, c8[j:j + 1, sl])
+            vals = jnp.concatenate(
+                [ones, sp1[j:j + 1, sl], sp2[j:j + 1, sl],
+                 sp3[j:j + 1, sl]], axis=0)               # (4, wc) f32
+            acc = acc + jax.lax.dot_general(
+                oh_c, vals.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    del h8, v8
+
+    @pl.when(step == 0)
+    def _():
+        out_ref[0] = acc
+
+    @pl.when(step > 0)
+    def _():
+        out_ref[0] += acc
+
+
+def cell_counts_s_from_rgb(rgb: jnp.ndarray, cfg):
+    """bf16-variant twin of pallas_kernels.cell_counts_s_from_rgb."""
+    b, _, hh, ww = rgb.shape
+    c = cfg.num_cells
+    wc = _lane_chunk(ww)
+    out = pl.pallas_call(
+        functools.partial(_cell_counts_rgb_kernel_bf16, num_cells=c,
+                          cfg=cfg, wc=wc),
+        grid=(b, hh // _ROWS),
+        in_specs=[pl.BlockSpec((1, 3, _ROWS, ww),
+                               lambda bb, i: (bb, 0, i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, c, 4), lambda bb, i: (bb, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, c, 4), jnp.float32),
+    )(rgb)
+    counts = jnp.round(out[..., 0]).astype(jnp.int32)
+    s_sum = jnp.sum(out[..., 1] + out[..., 2] + out[..., 3], axis=-1)
+    return counts, s_sum
+
+
+def _decode_lut_f32(lu: jnp.ndarray, q: int, num_cells: int):
+    """Recombine gathered LUT sections (f32 GEMM output) -> candk, ch, cs,
+    cv, each (q, chunk) f32.  Layout must match palette_candidate_lut."""
+    o = 1 if lut_sections(num_cells) == 10 else 3
+    candk = lu[0:q] if o == 1 else lu[0:q] + lu[q:2 * q] + lu[2 * q:3 * q]
+    ch = lu[o * q:(o + 1) * q] + lu[(o + 1) * q:(o + 2) * q] \
+        + lu[(o + 2) * q:(o + 3) * q]
+    cs = lu[(o + 3) * q:(o + 4) * q] + lu[(o + 4) * q:(o + 5) * q] \
+        + lu[(o + 5) * q:(o + 6) * q]
+    cv = lu[(o + 6) * q:(o + 7) * q] + lu[(o + 7) * q:(o + 8) * q] \
+        + lu[(o + 8) * q:(o + 9) * q]
+    return candk, ch, cs, cv
+
+
+def _palette_rgb_kernel_bf16(rgb_ref, lut_ref, out_ref, *, num_cells: int,
+                             q_pad: int, cfg, wc: int):
+    """Per-pixel parent resolution + palette sums; see _palette_rgb_kernel.
+    Distance/argmin/tie math is f32 and op-identical to the XLA pixel pass
+    (quantize.palette_pixel_sums), so ties break bit-identically."""
+    step = pl.program_id(1)
+    c = num_cells
+    q = q_pad
+    w = rgb_ref.shape[3]
+    rows = rgb_ref.shape[2]
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (c, wc), 0)
+    iota_cf = iota_c.astype(jnp.float32)
+    ones = jnp.ones((1, wc), jnp.float32)
+    lut = lut_ref[0]                                      # (ns*q, C) bf16
+
+    h8, s8, v8, c8 = _hsv_cells_block(rgb_ref, cfg)
+    sp = _split3(s8)
+    vp = _split3(v8)
+
+    acc = jnp.zeros((c, 16), jnp.float32)
+    for j in range(rows):
+        for k0 in range(w // wc):
+            sl = slice(k0 * wc, (k0 + 1) * wc)
+            hrow = h8[j:j + 1, sl]                        # (1, wc) f32
+            srow = s8[j:j + 1, sl]
+            vrow = v8[j:j + 1, sl]
+            oh_c = _onehot_bf16(iota_c, c8[j:j + 1, sl])
+            lu = jax.lax.dot_general(
+                lut, oh_c, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)       # (ns*q, wc) f32
+            candk, ch, cs, cv = _decode_lut_f32(lu, q, c)
+            hd = jnp.abs(hrow - ch)                       # (q, wc) f32
+            hd = jnp.where(hd > 180.0, 360.0 - hd, hd) \
+                * jnp.float32(1 / 360.0)
+            sd = srow - cs
+            vd = vrow - cv
+            d = hd * hd + sd * sd + vd * vd
+            dm = jnp.where(candk < jnp.float32(c), d, jnp.float32(_BIG))
+            minv = jnp.min(dm, axis=0, keepdims=True)
+            iskmin = dm == minv
+            kstar = jnp.min(jnp.where(iskmin, candk, jnp.float32(c)),
+                            axis=0, keepdims=True)
+            chosen = jnp.logical_and(iskmin, candk == kstar)
+            off = jnp.sum(jnp.where(chosen, jnp.float32(180.0) - ch, 0.0),
+                          axis=0, keepdims=True)
+            oh_k = (iota_cf == kstar).astype(jnp.bfloat16)  # f32 compare
+            temp = hrow + off
+            temp = jnp.where(temp > 360.0, temp - 360.0,
+                             jnp.where(temp < 0.0, temp + 360.0, temp))
+            t1, t2, t3 = _split3(temp)
+            vals = jnp.concatenate(
+                [ones, t1, t2, t3,
+                 sp[0][j:j + 1, sl], sp[1][j:j + 1, sl], sp[2][j:j + 1, sl],
+                 vp[0][j:j + 1, sl], vp[1][j:j + 1, sl], vp[2][j:j + 1, sl],
+                 jnp.zeros((6, wc), jnp.float32)], axis=0)  # (16, wc)
+            acc = acc + jax.lax.dot_general(
+                oh_k, vals.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)       # (C, 16)
+
+    @pl.when(step == 0)
+    def _():
+        out_ref[0] = acc
+
+    @pl.when(step > 0)
+    def _():
+        out_ref[0] += acc
+
+
+def palette_sums_by_k_rgb(rgb: jnp.ndarray, luts: jnp.ndarray,
+                          num_cells: int, q_pad: int, cfg) -> jnp.ndarray:
+    """bf16-variant twin of pallas_kernels.palette_sums_by_k_rgb.  ``luts``
+    is the f32 output of palette_candidate_lut — every section term is
+    bf16-exact by construction, so the cast below is lossless."""
+    b, _, hh, ww = rgb.shape
+    c = num_cells
+    wc = _lane_chunk(ww)
+    out = pl.pallas_call(
+        functools.partial(_palette_rgb_kernel_bf16, num_cells=c,
+                          q_pad=q_pad, cfg=cfg, wc=wc),
+        grid=(b, hh // _ROWS),
+        in_specs=[
+            pl.BlockSpec((1, 3, _ROWS, ww), lambda bb, i: (bb, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lut_sections(c) * q_pad, c),
+                         lambda bb, i: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, c, 16), lambda bb, i: (bb, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, c, 16), jnp.float32),
+    )(rgb, luts.astype(jnp.bfloat16))
+    return _recombine_split_sums(out)
+
+
+def _palette_rgb_q1_kernel_bf16(rgb_ref, lut_ref, out_ref, *,
+                                num_cells: int, cfg, wc: int):
+    """q=1 tier (no populated cell tied); see _palette_rgb_q1_kernel."""
+    step = pl.program_id(1)
+    c = num_cells
+    w = rgb_ref.shape[3]
+    rows = rgb_ref.shape[2]
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (c, wc), 0)
+    ones = jnp.ones((1, wc), jnp.float32)
+    lut = lut_ref[0]                                      # (3, C) bf16
+
+    h8, s8, v8, c8 = _hsv_cells_block(rgb_ref, cfg)
+    sp = _split3(s8)
+    vp = _split3(v8)
+
+    acc = jnp.zeros((c, 16), jnp.float32)
+    for j in range(rows):
+        for k0 in range(w // wc):
+            sl = slice(k0 * wc, (k0 + 1) * wc)
+            oh_c = _onehot_bf16(iota_c, c8[j:j + 1, sl])
+            lu = jax.lax.dot_general(
+                lut, oh_c, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)       # (3, wc) f32
+            off = lu[0:1] + lu[1:2] + lu[2:3]             # exact
+            temp = h8[j:j + 1, sl] + off
+            temp = jnp.where(temp > 360.0, temp - 360.0,
+                             jnp.where(temp < 0.0, temp + 360.0, temp))
+            t1, t2, t3 = _split3(temp)
+            vals = jnp.concatenate(
+                [ones, t1, t2, t3,
+                 sp[0][j:j + 1, sl], sp[1][j:j + 1, sl], sp[2][j:j + 1, sl],
+                 vp[0][j:j + 1, sl], vp[1][j:j + 1, sl], vp[2][j:j + 1, sl],
+                 jnp.zeros((6, wc), jnp.float32)], axis=0)  # (16, wc)
+            acc = acc + jax.lax.dot_general(
+                oh_c, vals.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)       # (C, 16) by cell
+
+    @pl.when(step == 0)
+    def _():
+        out_ref[0] = acc
+
+    @pl.when(step > 0)
+    def _():
+        out_ref[0] += acc
+
+
+def palette_sums_by_k_rgb_q1(rgb: jnp.ndarray, assign, tables,
+                             num_cells: int, cfg) -> jnp.ndarray:
+    """bf16-variant twin of pallas_kernels.palette_sums_by_k_rgb_q1."""
+    from .pallas_kernels import palette_offset_lut, parent_slot_matrix
+
+    b, _, hh, ww = rgb.shape
+    c = num_cells
+    wc = _lane_chunk(ww)
+    luts = jax.vmap(
+        lambda a: palette_offset_lut(a, tables, c))(assign)  # (B, 3, C)
+    out = pl.pallas_call(
+        functools.partial(_palette_rgb_q1_kernel_bf16, num_cells=c,
+                          cfg=cfg, wc=wc),
+        grid=(b, hh // _ROWS),
+        in_specs=[
+            pl.BlockSpec((1, 3, _ROWS, ww), lambda bb, i: (bb, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, c), lambda bb, i: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, c, 16), lambda bb, i: (bb, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, c, 16), jnp.float32),
+    )(rgb, luts.astype(jnp.bfloat16))
+    by_cell = _recombine_split_sums(out)                  # (B, C, 4)
+    perm = jax.vmap(lambda a: parent_slot_matrix(a, c))(assign)
+    return jnp.einsum("bkc,bcq->bkq", perm, by_cell,
+                      precision=jax.lax.Precision.HIGHEST)

@@ -445,7 +445,7 @@ def color_palette(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray,
 
 
 def palette_kernel_variant() -> str:
-    """Selected Pallas palette kernel ('candidate' or 'cwide').
+    """Selected Pallas palette kernel ('candidate', 'bf16', or 'cwide').
 
     Read at TRACE time; any function that caches a traced program around
     the palette pass must include this value in its cache key (the
@@ -454,7 +454,10 @@ def palette_kernel_variant() -> str:
     """
     import os
 
-    return os.environ.get("PHOTOHIVE_PALETTE_KERNEL", "candidate")
+    # Default 'bf16' (ops/pallas_kernels_bf16.py): measured 9-11% faster
+    # end-to-end than 'candidate' on silicon (tools/variant_probe.py,
+    # round 4) with bit-identical palette output.
+    return os.environ.get("PHOTOHIVE_PALETTE_KERNEL", "bf16")
 
 
 def palette_sums_by_k_auto(hf: jnp.ndarray, sf: jnp.ndarray,
@@ -521,13 +524,24 @@ def color_palette_batched_from_rgb(down: jnp.ndarray, cfg: ReportConfig,
 
     Counts, cell ids, and the tie-break all share the kernels' one
     Mosaic lowering of _hsv_rows/_cell_ids_row; agreement with the XLA
-    lowering is gated on hardware by tools/tpu_parity_check.py."""
+    lowering is gated on hardware by tools/tpu_parity_check.py.
+
+    PHOTOHIVE_PALETTE_KERNEL=bf16 swaps in the bf16-operand/full-sublane
+    restructuring of the same kernels (ops/pallas_kernels_bf16.py) —
+    identical results (every product is against 0/1 one-hots of
+    bf16-exact terms, as the DEFAULT-precision MXU pass already computed
+    them), fewer VPU issues."""
     from . import pallas_kernels as pk
+
+    if palette_kernel_variant() == "bf16":
+        from . import pallas_kernels_bf16 as pkv
+    else:
+        pkv = pk
 
     b, _, hh, ww = down.shape
     total_pixels = hh * ww
     c = cfg.num_cells
-    counts, s_sum = pk.cell_counts_s_from_rgb(down, cfg)
+    counts, s_sum = pkv.cell_counts_s_from_rgb(down, cfg)
     sal = jax.vmap(lambda x: saliency_f32(x, tables.s_v_f32, cfg))(counts)
     order = saliency_argsort(sal, True)
     assign = jax.vmap(
@@ -541,14 +555,14 @@ def color_palette_batched_from_rgb(down: jnp.ndarray, cfg: ReportConfig,
         def body(_):
             luts = jax.vmap(lambda a: pk.palette_candidate_lut(
                 a, tables, c, q_pad))(assign)
-            return pk.palette_sums_by_k_rgb(down, luts, c, q_pad, cfg)
+            return pkv.palette_sums_by_k_rgb(down, luts, c, q_pad, cfg)
         return body
 
     def run_q1(_):
         # No populated cell tied: parent is a pure cell lookup, sums
         # accumulate by cell (single one-hot, ~3.4x less MXU work) and
         # are remapped to slots outside the kernel.
-        return pk.palette_sums_by_k_rgb_q1(down, assign, tables, c, cfg)
+        return pkv.palette_sums_by_k_rgb_q1(down, assign, tables, c, cfg)
 
     # Tier switch on the batch's actual tie structure (the XLA
     # counterpart is palette_q_tiers): candidate count only matters for
@@ -570,9 +584,10 @@ def color_palette_batched_from_rgb(down: jnp.ndarray, cfg: ReportConfig,
 
 def use_rgb_palette_path(use_pallas: bool, hh: int, ww: int) -> bool:
     """Route to color_palette_batched_from_rgb?  Pallas on, tile-aligned
-    shape, and the default 'candidate' kernel variant (the cwide A/B
-    variant only has a flat formulation)."""
-    if not use_pallas or palette_kernel_variant() != "candidate":
+    shape, and an rgb-capable kernel variant ('candidate' or 'bf16'; the
+    cwide A/B variant only has a flat formulation)."""
+    if not use_pallas or palette_kernel_variant() not in ("candidate",
+                                                          "bf16"):
         return False
     from . import pallas_kernels as pk
     return pk.palette_rgb_eligible(hh, ww)

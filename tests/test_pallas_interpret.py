@@ -377,3 +377,44 @@ def test_margin_sort_interpret(cfg):
         got = pk.margin_sort(sal)
     ref = jax.vmap(quantize.margin_insertion_argsort)(sal)
     assert np.array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_bf16_variant_kernels_match_candidate(cfg, tables):
+    """The bf16-operand/full-sublane rgb kernels (ops/pallas_kernels_bf16)
+    must produce BIT-identical sums/counts to the 'candidate' rgb kernels:
+    every product is a 0/1 one-hot against bf16-exact split terms, so the
+    operand-dtype change cannot alter a single value (the f32 DEFAULT dot
+    was a single bf16 MXU pass already)."""
+    from photohive_dsp_tpu.ops import pallas_kernels_bf16 as pkv
+
+    rng = np.random.default_rng(17)
+    rgb = jnp.asarray(rng.random((2, 3, 16, 256)), jnp.float32)
+    c = cfg.num_cells
+    with pltpu.force_tpu_interpret_mode():
+        c0, s0 = pk.cell_counts_s_from_rgb(rgb, cfg)
+        c1, s1 = pkv.cell_counts_s_from_rgb(rgb, cfg)
+        assert np.array_equal(np.asarray(c0), np.asarray(c1))
+        assert np.array_equal(np.asarray(s0), np.asarray(s1))
+
+        sal = jax.vmap(lambda x: quantize.saliency_f32(
+            x, tables.s_v_f32, cfg))(c0)
+        order = quantize.saliency_argsort(sal, True)
+        assign = jax.vmap(lambda cnt, o: quantize.parent_assignment_from_order(
+            cnt, o, 16 * 256, cfg, tables))(c0, order)
+        luts = jax.vmap(lambda a: pk.palette_candidate_lut(
+            a, tables, c, 8))(assign)
+        wide0 = pk.palette_sums_by_k_rgb(rgb, luts, c, 8, cfg)
+        wide1 = pkv.palette_sums_by_k_rgb(rgb, luts, c, 8, cfg)
+        assert np.array_equal(np.asarray(wide0), np.asarray(wide1))
+
+        q10 = pk.palette_sums_by_k_rgb_q1(rgb, assign, tables, c, cfg)
+        q11 = pkv.palette_sums_by_k_rgb_q1(rgb, assign, tables, c, cfg)
+        assert np.array_equal(np.asarray(q10), np.asarray(q11))
+
+
+def test_bf16_variant_is_default_and_routes_rgb(cfg, monkeypatch):
+    monkeypatch.delenv("PHOTOHIVE_PALETTE_KERNEL", raising=False)
+    assert quantize.palette_kernel_variant() == "bf16"
+    assert quantize.use_rgb_palette_path(True, 1080, 1920)
+    monkeypatch.setenv("PHOTOHIVE_PALETTE_KERNEL", "candidate")
+    assert quantize.use_rgb_palette_path(True, 1080, 1920)

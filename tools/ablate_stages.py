@@ -168,7 +168,7 @@ def main():
               f"used '{palette_kernel_variant()}'):")
         orig = os.environ.get("PHOTOHIVE_PALETTE_KERNEL")
         try:
-            for variant in ("candidate", "cwide"):
+            for variant in ("candidate", "bf16", "cwide"):
                 os.environ["PHOTOHIVE_PALETTE_KERNEL"] = variant
                 t = measure(())
                 print(f"  {variant:<10} {t*1000:7.1f} ms  ({mp/t:.1f} MP/s)")
