@@ -20,14 +20,21 @@ def laplacian_3x3(x: jnp.ndarray) -> jnp.ndarray:
     Matches filter_image(initialize_3x3_laplacian(), ...) semantics
     (reference src/filtering.c:40-50, :81-107): out-of-image taps contribute
     zero.
+
+    Separable formulation: one horizontal triple-sum (the only lane-shifted
+    pass), then a vertical triple-sum of it, and 9x - box3x3 == 8x - the 8
+    neighbors.  The 8-shifted-adds form paid six more lane-rotation passes
+    on TPU (misaligned (H+2, W+2) slices); this halved the isolated
+    Laplacian wall on-chip.  FP results differ from the shifted-adds form
+    only by f32 reassociation (~1e-6 absolute) — both forms reassociate
+    the C reference's row-major tap loop, and the golden tests bound the
+    final sharpness at rtol 1e-5.
     """
-    p = jnp.pad(x, 1)
-    neighbors = (
-        p[:-2, :-2] + p[:-2, 1:-1] + p[:-2, 2:]
-        + p[1:-1, :-2] + p[1:-1, 2:]
-        + p[2:, :-2] + p[2:, 1:-1] + p[2:, 2:]
-    )
-    return 8.0 * x - neighbors
+    h = jnp.pad(x, ((0, 0), (1, 1)))
+    t = h[:, :-2] + h[:, 1:-1] + h[:, 2:]
+    v = jnp.pad(t, ((1, 1), (0, 0)))
+    box = v[:-2, :] + v[1:-1, :] + v[2:, :]
+    return 9.0 * x - box
 
 
 def trailing_circular_box(x: jnp.ndarray, size: int) -> jnp.ndarray:

@@ -68,6 +68,50 @@ def _onehot_bf16(iota_i32, ids_row):
     return (iota_i32 == ids_row).astype(jnp.bfloat16)
 
 
+# Max merged contraction width per sums GEMM (pixels).  The per-chunk
+# (C, wc) x (wc, 16) sums contraction was the wide kernel's DOMINANT cost
+# on silicon (+14.5 ms of an ~18 ms 33-MP kernel, tools/kernel_cost_probe)
+# — N=16 leaves the MXU mostly idle and the per-call overhead is paid 24x
+# per block.  Merging the block's one-hot/value chunks into one contraction
+# measured -5.4 ms (tools/sums_gemm_experiment: chunk 43.6 / row 40.1 /
+# block 38.2 ms; the transposed formulation was worse, 70 ms).  The cap
+# bounds the merged one-hot's VMEM at (C, 15360) bf16 ~ 3.4 MB for C=112.
+_SUMS_FLUSH_PX = 15360
+
+
+class _MergedSums:
+    """Accumulates (one_hot, vals) chunk pairs and flushes them through one
+    dot_general when _SUMS_FLUSH_PX pixels are queued.  Adds reassociate
+    relative to per-chunk GEMMs (counts stay exact — 0/1 products in an
+    f32 accumulator; hue/s/v sums move by f32 rounding order only, like
+    any shard split)."""
+
+    def __init__(self, acc):
+        self.acc = acc
+        self.ohs = []
+        self.vls = []
+        self.lanes = 0
+
+    def add(self, oh, vals_bf16):
+        self.ohs.append(oh)
+        self.vls.append(vals_bf16)
+        self.lanes += oh.shape[1]
+        if self.lanes >= _SUMS_FLUSH_PX:
+            self.flush()
+
+    def flush(self):
+        if not self.ohs:
+            return
+        oh_all = self.ohs[0] if len(self.ohs) == 1 \
+            else jnp.concatenate(self.ohs, axis=1)
+        vl_all = self.vls[0] if len(self.vls) == 1 \
+            else jnp.concatenate(self.vls, axis=1)
+        self.acc = self.acc + jax.lax.dot_general(
+            oh_all, vl_all, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        self.ohs, self.vls, self.lanes = [], [], 0
+
+
 def _cell_counts_rgb_kernel_bf16(rgb_ref, out_ref, *, num_cells: int, cfg,
                                  wc: int):
     """Histogram + saturation sum; see _cell_counts_rgb_kernel."""
@@ -81,7 +125,7 @@ def _cell_counts_rgb_kernel_bf16(rgb_ref, out_ref, *, num_cells: int, cfg,
     h8, s8, v8, c8 = _hsv_cells_block(rgb_ref, cfg)
     sp1, sp2, sp3 = _split3(s8)
 
-    acc = jnp.zeros((c, 4), jnp.float32)
+    ms = _MergedSums(jnp.zeros((c, 4), jnp.float32))
     for j in range(rows):
         for k0 in range(w // wc):
             sl = slice(k0 * wc, (k0 + 1) * wc)
@@ -89,9 +133,9 @@ def _cell_counts_rgb_kernel_bf16(rgb_ref, out_ref, *, num_cells: int, cfg,
             vals = jnp.concatenate(
                 [ones, sp1[j:j + 1, sl], sp2[j:j + 1, sl],
                  sp3[j:j + 1, sl]], axis=0)               # (4, wc) f32
-            acc = acc + jax.lax.dot_general(
-                oh_c, vals.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            ms.add(oh_c, vals.astype(jnp.bfloat16))
+    ms.flush()
+    acc = ms.acc
     del h8, v8
 
     @pl.when(step == 0)
@@ -157,7 +201,7 @@ def _palette_rgb_kernel_bf16(rgb_ref, lut_ref, out_ref, *, num_cells: int,
     sp = _split3(s8)
     vp = _split3(v8)
 
-    acc = jnp.zeros((c, 16), jnp.float32)
+    ms = _MergedSums(jnp.zeros((c, 16), jnp.float32))
     for j in range(rows):
         for k0 in range(w // wc):
             sl = slice(k0 * wc, (k0 + 1) * wc)
@@ -193,9 +237,9 @@ def _palette_rgb_kernel_bf16(rgb_ref, lut_ref, out_ref, *, num_cells: int,
                  sp[0][j:j + 1, sl], sp[1][j:j + 1, sl], sp[2][j:j + 1, sl],
                  vp[0][j:j + 1, sl], vp[1][j:j + 1, sl], vp[2][j:j + 1, sl],
                  jnp.zeros((6, wc), jnp.float32)], axis=0)  # (16, wc)
-            acc = acc + jax.lax.dot_general(
-                oh_k, vals.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)       # (C, 16)
+            ms.add(oh_k, vals.astype(jnp.bfloat16))
+    ms.flush()
+    acc = ms.acc
 
     @pl.when(step == 0)
     def _():
@@ -247,7 +291,7 @@ def _palette_rgb_q1_kernel_bf16(rgb_ref, lut_ref, out_ref, *,
     sp = _split3(s8)
     vp = _split3(v8)
 
-    acc = jnp.zeros((c, 16), jnp.float32)
+    ms = _MergedSums(jnp.zeros((c, 16), jnp.float32))
     for j in range(rows):
         for k0 in range(w // wc):
             sl = slice(k0 * wc, (k0 + 1) * wc)
@@ -265,9 +309,9 @@ def _palette_rgb_q1_kernel_bf16(rgb_ref, lut_ref, out_ref, *,
                  sp[0][j:j + 1, sl], sp[1][j:j + 1, sl], sp[2][j:j + 1, sl],
                  vp[0][j:j + 1, sl], vp[1][j:j + 1, sl], vp[2][j:j + 1, sl],
                  jnp.zeros((6, wc), jnp.float32)], axis=0)  # (16, wc)
-            acc = acc + jax.lax.dot_general(
-                oh_c, vals.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)       # (C, 16) by cell
+            ms.add(oh_c, vals.astype(jnp.bfloat16))       # (C, 16) by cell
+    ms.flush()
+    acc = ms.acc
 
     @pl.when(step == 0)
     def _():

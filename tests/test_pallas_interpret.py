@@ -381,11 +381,16 @@ def test_margin_sort_interpret(cfg):
 
 def test_bf16_variant_kernels_match_candidate(cfg, tables):
     """The bf16-operand/full-sublane rgb kernels (ops/pallas_kernels_bf16)
-    must produce BIT-identical sums/counts to the 'candidate' rgb kernels:
-    every product is a 0/1 one-hot against bf16-exact split terms, so the
-    operand-dtype change cannot alter a single value (the f32 DEFAULT dot
-    was a single bf16 MXU pass already)."""
+    against the 'candidate' rgb kernels: counts are EXACT (0/1 products in
+    an f32 accumulator, any add order); hue/s/v sums may move by f32
+    rounding order only — the block-merged sums GEMM reassociates the
+    per-chunk adds (like any shard split), every product still being a
+    0/1 one-hot against bf16-exact split terms."""
     from photohive_dsp_tpu.ops import pallas_kernels_bf16 as pkv
+
+    def close(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a - b).max() <= 1e-5 * max(1.0, np.abs(a).max())
 
     rng = np.random.default_rng(17)
     rgb = jnp.asarray(rng.random((2, 3, 16, 256)), jnp.float32)
@@ -394,7 +399,7 @@ def test_bf16_variant_kernels_match_candidate(cfg, tables):
         c0, s0 = pk.cell_counts_s_from_rgb(rgb, cfg)
         c1, s1 = pkv.cell_counts_s_from_rgb(rgb, cfg)
         assert np.array_equal(np.asarray(c0), np.asarray(c1))
-        assert np.array_equal(np.asarray(s0), np.asarray(s1))
+        close(s0, s1)
 
         sal = jax.vmap(lambda x: quantize.saliency_f32(
             x, tables.s_v_f32, cfg))(c0)
@@ -405,11 +410,15 @@ def test_bf16_variant_kernels_match_candidate(cfg, tables):
             a, tables, c, 8))(assign)
         wide0 = pk.palette_sums_by_k_rgb(rgb, luts, c, 8, cfg)
         wide1 = pkv.palette_sums_by_k_rgb(rgb, luts, c, 8, cfg)
-        assert np.array_equal(np.asarray(wide0), np.asarray(wide1))
+        assert np.array_equal(np.asarray(wide0[..., 3]),
+                              np.asarray(wide1[..., 3]))  # counts exact
+        close(wide0, wide1)
 
         q10 = pk.palette_sums_by_k_rgb_q1(rgb, assign, tables, c, cfg)
         q11 = pkv.palette_sums_by_k_rgb_q1(rgb, assign, tables, c, cfg)
-        assert np.array_equal(np.asarray(q10), np.asarray(q11))
+        assert np.array_equal(np.asarray(q10[..., 3]),
+                              np.asarray(q11[..., 3]))
+        close(q10, q11)
 
 
 def test_bf16_variant_is_default_and_routes_rgb(cfg, monkeypatch):

@@ -1,13 +1,19 @@
-"""Decompose the wide (q=8) rgb palette kernel's on-chip cost incrementally.
+"""On-chip experiment: formulations of the palette sums GEMM.
 
-Stage N's kernel computes stages 1..N of the real kernel's work and feeds a
-cheap non-DCE-able consumer; the delta between consecutive stages is that
-stage's marginal cost.  (A skip-one ablation instead lets Mosaic dead-code
-whole dependency chains — deltas overlap and overcount.)  Results are NOT
-parity-correct — this is a measurement scalpel only, never a production
-path.
+kernel_cost_probe.py attributes ~14.5 ms of the 33-MP wide-kernel wall to
+the per-chunk (C, wc) x (wc, 16) sums contraction (N=16: the MXU mostly
+idles, and it is issued 24x per block).  Candidates:
 
-Run on the chip: python tools/kernel_cost_probe.py [H W B]
+  a. per-chunk (baseline, production shape)
+  b. block-merged: accumulate the 24 chunks' one-hots/values and issue ONE
+     (C, 24*wc) x (24*wc, 16) GEMM per block
+  c. row-merged: one (C, W) x (W, 16) GEMM per row (3 chunks)
+
+Each variant runs the REAL kernel computation up to the sums (gather,
+distances, tie-break) so scheduling interactions are included; outputs are
+identical across variants (same products, reassociated adds of exact terms
+only for counts... counts are exact in any order; hue/s/v sums reassociate
+like any shard split).
 """
 
 import functools
@@ -35,17 +41,13 @@ from photohive_dsp_tpu.ops.quantize import (OctreeTables, saliency_f32,
                                             saliency_argsort,
                                             parent_assignment_from_order)
 
-STAGES = ("hsv", "ohc", "gather", "dist", "ohk", "vals", "sums")
 
-
-def _probe_kernel(rgb_ref, lut_ref, out_ref, *, num_cells, q_pad, cfg, wc,
-                  upto):
+def _kernel(rgb_ref, lut_ref, out_ref, *, num_cells, q_pad, cfg, wc, mode):
     step = pl.program_id(1)
     c = num_cells
     q = q_pad
     w = rgb_ref.shape[3]
     rows = rgb_ref.shape[2]
-    level = STAGES.index(upto)
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (c, wc), 0)
     iota_cf = iota_c.astype(jnp.float32)
     ones = jnp.ones((1, wc), jnp.float32)
@@ -55,36 +57,20 @@ def _probe_kernel(rgb_ref, lut_ref, out_ref, *, num_cells, q_pad, cfg, wc,
     sp = _split3(s8)
     vp = _split3(v8)
 
-    acc = jnp.zeros((c, 16), jnp.float32)
+    acc = jnp.zeros((16, c) if mode in ("tpose", "tpose_block")
+                    else (c, 16), jnp.float32)
+    ohs, vls = [], []
     for j in range(rows):
         for k0 in range(w // wc):
             sl = slice(k0 * wc, (k0 + 1) * wc)
             hrow = h8[j:j + 1, sl]
             srow = s8[j:j + 1, sl]
             vrow = v8[j:j + 1, sl]
-            crow = c8[j:j + 1, sl]
-            if level == 0:   # hsv+cells only; consume all block products
-                tick = (hrow + srow + vrow
-                        + sp[0][j:j + 1, sl] + vp[0][j:j + 1, sl]
-                        + crow.astype(jnp.float32))
-                acc = acc + tick[:, :16]
-                continue
-            oh_c = _onehot_bf16(iota_c, crow)
-            if level == 1:   # + one-hot build; consume one lane column
-                acc = acc + oh_c[:, 0:1].astype(jnp.float32) \
-                    + (hrow + srow + vrow + sp[0][j:j + 1, sl]
-                       + vp[0][j:j + 1, sl])[:, :16]
-                continue
+            oh_c = _onehot_bf16(iota_c, c8[j:j + 1, sl])
             lu = jax.lax.dot_general(
                 lut, oh_c, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             candk, ch, cs, cv = _decode_lut_f32(lu, q, c)
-            if level == 2:   # + gather GEMM
-                acc = acc + jnp.sum((candk + ch + cs + cv)[:, :16],
-                                    axis=0, keepdims=True) \
-                    + (srow + vrow + sp[0][j:j + 1, sl]
-                       + vp[0][j:j + 1, sl])[:, :16]
-                continue
             hd = jnp.abs(hrow - ch)
             hd = jnp.where(hd > 180.0, 360.0 - hd, hd) \
                 * jnp.float32(1 / 360.0)
@@ -99,16 +85,7 @@ def _probe_kernel(rgb_ref, lut_ref, out_ref, *, num_cells, q_pad, cfg, wc,
             chosen = jnp.logical_and(iskmin, candk == kstar)
             off = jnp.sum(jnp.where(chosen, jnp.float32(180.0) - ch, 0.0),
                           axis=0, keepdims=True)
-            if level == 3:   # + distances/argmin/tie/off
-                acc = acc + (kstar + off + minv + sp[0][j:j + 1, sl]
-                             + vp[0][j:j + 1, sl])[:, :16]
-                continue
             oh_k = (iota_cf == kstar).astype(jnp.bfloat16)
-            if level == 4:   # + slot one-hot
-                acc = acc + oh_k[:, 0:1].astype(jnp.float32) \
-                    + (off + hrow + sp[0][j:j + 1, sl]
-                       + vp[0][j:j + 1, sl])[:, :16]
-                continue
             temp = hrow + off
             temp = jnp.where(temp > 360.0, temp - 360.0,
                              jnp.where(temp < 0.0, temp + 360.0, temp))
@@ -120,14 +97,50 @@ def _probe_kernel(rgb_ref, lut_ref, out_ref, *, num_cells, q_pad, cfg, wc,
                  vp[0][j:j + 1, sl], vp[1][j:j + 1, sl],
                  vp[2][j:j + 1, sl],
                  jnp.zeros((6, wc), jnp.float32)], axis=0)
-            if level == 5:   # + temp wrap/splits/vals assembly
-                acc = acc + jnp.sum(vals[:, :16], axis=0, keepdims=True) \
-                    + oh_k[:, 0:1].astype(jnp.float32)
-                continue
-            acc = acc + jax.lax.dot_general(
-                oh_k, vals.astype(jnp.bfloat16),
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            if mode == "chunk":
+                acc = acc + jax.lax.dot_general(
+                    oh_k, vals.astype(jnp.bfloat16),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            elif mode in ("row", "block"):
+                ohs.append(oh_k)
+                vls.append(vals.astype(jnp.bfloat16))
+                flush = (len(ohs) == w // wc) if mode == "row" else \
+                    (j == rows - 1 and k0 == w // wc - 1)
+                if flush:
+                    oh_all = jnp.concatenate(ohs, axis=1)
+                    vl_all = jnp.concatenate(vls, axis=1)
+                    acc = acc + jax.lax.dot_general(
+                        oh_all, vl_all, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    ohs, vls = [], []
+            elif mode in ("tpose", "tpose_block"):
+                # One-hot built TRANSPOSED (pixels on sublanes) from a tiny
+                # (1, wc) -> (wc, 1) kstar transpose; both GEMM operands are
+                # then in natural (M, K) x (K, N) form — no big relayout.
+                # acc is (16, C) in this mode (caller transposes once).
+                kstar_t = jax.lax.transpose(kstar, (1, 0))     # (wc, 1)
+                iota_t = jax.lax.broadcasted_iota(
+                    jnp.int32, (wc, c), 1).astype(jnp.float32)
+                oh_k_t = (iota_t == kstar_t).astype(jnp.bfloat16)
+                if mode == "tpose":
+                    acc = acc + jax.lax.dot_general(
+                        vals.astype(jnp.bfloat16), oh_k_t,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)    # (16, C)
+                else:
+                    ohs.append(oh_k_t)
+                    vls.append(vals.astype(jnp.bfloat16))
+                    if j == rows - 1 and k0 == w // wc - 1:
+                        oh_all = jnp.concatenate(ohs, axis=0)  # (24wc, C)
+                        vl_all = jnp.concatenate(vls, axis=1)  # (16, 24wc)
+                        acc = acc + jax.lax.dot_general(
+                            vl_all, oh_all, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        ohs, vls = [], []
+
+    if mode in ("tpose", "tpose_block"):
+        acc = jax.lax.transpose(acc, (1, 0))   # (16, C) -> (C, 16), tiny
 
     @pl.when(step == 0)
     def _():
@@ -138,12 +151,12 @@ def _probe_kernel(rgb_ref, lut_ref, out_ref, *, num_cells, q_pad, cfg, wc,
         out_ref[0] += acc
 
 
-def run_probe(rgb, luts, c, q, cfg, upto):
+def run(rgb, luts, c, q, cfg, mode):
     b, _, hh, ww = rgb.shape
     wc = _lane_chunk(ww)
     fn = jax.jit(lambda r, l: pl.pallas_call(
-        functools.partial(_probe_kernel, num_cells=c, q_pad=q, cfg=cfg,
-                          wc=wc, upto=upto),
+        functools.partial(_kernel, num_cells=c, q_pad=q, cfg=cfg, wc=wc,
+                          mode=mode),
         grid=(b, hh // _ROWS),
         in_specs=[
             pl.BlockSpec((1, 3, _ROWS, ww), lambda bb, i: (bb, 0, i, 0),
@@ -156,13 +169,13 @@ def run_probe(rgb, luts, c, q, cfg, upto):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, c, 16), jnp.float32),
     )(r, l.astype(jnp.bfloat16)))
-    np.asarray(fn(rgb, luts))  # compile+warm
+    out = np.asarray(fn(rgb, luts))  # compile+warm
     ts = []
     for _ in range(8):
         t0 = time.perf_counter()
         np.asarray(fn(rgb, luts))
         ts.append(time.perf_counter() - t0)
-    return min(ts)
+    return min(ts), out
 
 
 def main():
@@ -184,18 +197,23 @@ def main():
         a, tables, c, q))(assign)
     luts = jax.device_put(np.asarray(luts))
 
-    prev = None
-    for upto in STAGES:
+    ref = None
+    modes = sys.argv[4].split(",") if len(sys.argv) >= 5 \
+        else ("chunk", "row", "block", "tpose", "tpose_block")
+    for mode in modes:
         try:
-            t = run_probe(rgb, luts, c, q, cfg, upto)
+            t, out = run(rgb, luts, c, q, cfg, mode)
         except Exception as exc:  # noqa: BLE001
-            print(f"  {upto:<7} FAILED {type(exc).__name__}", flush=True)
+            print(f"  {mode:<6} FAILED {type(exc).__name__}: "
+                  f"{str(exc)[:120]}", flush=True)
             continue
-        d = "" if prev is None else f"   delta {1e3*(t-prev):+7.1f} ms"
-        print(f"  {upto:<7} {t*1e3:7.1f} ms{d}", flush=True)
-        prev = t
-    mp = b * h * w / 1e6
-    print(f"({b}x{h}x{w} = {mp:.1f} MP)")
+        if ref is None:
+            ref = out
+            tag = "(ref)"
+        else:
+            tag = "MATCH" if np.allclose(ref, out, rtol=1e-6, atol=1e-3) \
+                else "** MISMATCH **"
+        print(f"  {mode:<6} {t*1e3:7.1f} ms  {tag}", flush=True)
 
 
 if __name__ == "__main__":
