@@ -234,27 +234,29 @@ def _cell_counts_hsv_kernel(h_ref, s_ref, v_ref, out_ref, *,
     uses, so a cell-boundary pixel can never land in different cells for
     counts vs sums (the XLA assign_cells lowering is out of the loop
     entirely on the Pallas path).  Padded pixels carry hue sentinel -1 and
-    match no one-hot row."""
+    match no one-hot row.
+
+    Restructured like the rgb bf16 kernels: cell ids for the whole
+    (_ROWS, CHUNK) block at full sublane utilization, bf16 one-hot
+    selects, and ONE merged counts GEMM per block (counts are exact
+    integer f32 sums in any order, so merging cannot change a bit)."""
     step = pl.program_id(1)
     c = num_cells
+    rows = h_ref.shape[1]
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (c, _CHUNK), 0)
-    ones = jnp.ones((4, _CHUNK), jnp.float32)
+    ones = jnp.ones((4, rows * _CHUNK), jnp.bfloat16)
 
-    def row(j, acc):
-        hrow = h_ref[0, pl.ds(j, 1), :]
-        srow = s_ref[0, pl.ds(j, 1), :]
-        vrow = v_ref[0, pl.ds(j, 1), :]
-        crow = _cell_ids_row(jnp.maximum(hrow, 0.0), srow, vrow, cfg)
-        crow = jnp.where(hrow >= 0.0, crow, jnp.int32(-1))
-        oh_c = (iota_c == crow).astype(jnp.float32)
-        # 0/1 x 1.0 products are exact in the single bf16 DEFAULT pass;
-        # the f32 accumulator keeps counts exact (< 2^24 per cell).
-        return acc + jax.lax.dot_general(
-            oh_c, ones, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-
-    acc = jax.lax.fori_loop(0, h_ref.shape[1], row,
-                            jnp.zeros((c, 4), jnp.float32))
+    h8 = h_ref[0]                                         # (_ROWS, CHUNK)
+    cells8 = _cell_ids_row(jnp.maximum(h8, 0.0), s_ref[0], v_ref[0], cfg)
+    cells8 = jnp.where(h8 >= 0.0, cells8, jnp.int32(-1))
+    oh_all = jnp.concatenate(
+        [(iota_c == cells8[j:j + 1]).astype(jnp.bfloat16)
+         for j in range(rows)], axis=1)                   # (C, rows*CHUNK)
+    # 0/1 x 1.0 products are exact in the single bf16 DEFAULT pass;
+    # the f32 accumulator keeps counts exact (< 2^24 per cell).
+    acc = jax.lax.dot_general(
+        oh_all, ones, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
     @pl.when(step == 0)
     def _():
@@ -430,25 +432,46 @@ def _palette_kernel(h_ref, s_ref, v_ref, lut_ref, out_ref, *,
     (exact 0/1 count column; hue/sat/val sums exact per product).  The two
     GEMMs streaming one pass instead of Precision.HIGHEST's six is worth
     ~2x on the whole kernel.  Cell ids are computed in-kernel from the
-    h/s/v rows (padded pixels carry the hue sentinel -1)."""
+    h/s/v rows (padded pixels carry the hue sentinel -1).
+
+    Issue-efficiency restructuring (shared with the rgb bf16 kernels):
+    sentinel masks, cell ids, and value splits are computed once per
+    (_ROWS, CHUNK) block at full sublane utilization and statically
+    sliced per row; one-hots are materialized in bf16 (the dtype the
+    DEFAULT-precision MXU pass ingests anyway — bit-identical products,
+    half the vreg writes; compares stay int32/f32, this target has no
+    bf16 compare).  The sums GEMM stays PER ROW: merging rows reassociates
+    the f32 adds and would break the exact padding-invariance the sharded
+    body relies on (test_palette_kernels_drop_hue_sentinel_pixels)."""
     step = pl.program_id(1)
     c = num_cells
     q = q_pad
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (c, _CHUNK), 0)
+    iota_cf = iota_c.astype(jnp.float32)
     split3 = _split3
+    lut = lut_ref[0].astype(jnp.bfloat16)                 # bf16-exact rows
 
-    def row(j, acc):
-        hrow = h_ref[0, pl.ds(j, 1), :]                   # (1, CHUNK)
-        srow = s_ref[0, pl.ds(j, 1), :]
-        vrow = v_ref[0, pl.ds(j, 1), :]
-        in_img = (hrow >= 0.0).astype(jnp.float32)        # (1, CHUNK)
-        crow = _cell_ids_row(jnp.maximum(hrow, 0.0), srow, vrow, cfg)
-        oh_c = (iota_c == crow).astype(jnp.float32)       # (C, CHUNK)
+    h8 = h_ref[0]                                         # (_ROWS, CHUNK)
+    s8 = s_ref[0]
+    v8 = v_ref[0]
+    in8 = (h8 >= 0.0).astype(jnp.float32)
+    hc8 = jnp.maximum(h8, 0.0)
+    cells8 = _cell_ids_row(hc8, s8, v8, cfg)
+    sp = split3(s8 * in8)
+    vp = split3(v8 * in8)
+
+    acc = jnp.zeros((c, 16), jnp.float32)
+    for j in range(h_ref.shape[1]):
+        hrow = hc8[j:j + 1]                               # (1, CHUNK)
+        srow = s8[j:j + 1]
+        vrow = v8[j:j + 1]
+        in_img = in8[j:j + 1]
+        oh_c = (iota_c == cells8[j:j + 1]).astype(jnp.bfloat16)
         # All candidate lookups in one single-pass bf16 GEMM: every LUT row
         # is bf16-exact and the one-hot is 0/1, so each product is exact and
         # each output element has exactly one contributing term.
         lu = jax.lax.dot_general(
-            lut_ref[0], oh_c, (((1,), (0,)), ((), ())),
+            lut, oh_c, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)           # (ns*q, CHUNK)
         candk, ch, cs, cv = _decode_lut(lu, q, c)
         # Distance to each candidate; identical f32 ops to the XLA
@@ -472,22 +495,19 @@ def _palette_kernel(h_ref, s_ref, v_ref, lut_ref, out_ref, *,
         off = jnp.sum(jnp.where(chosen, jnp.float32(180.0) - ch, 0.0),
                       axis=0, keepdims=True)
         kfin = jnp.where(in_img > 0.5, kstar, jnp.float32(c))
-        oh_k = (iota_c == kfin.astype(jnp.int32)).astype(jnp.float32)
+        oh_k = (iota_cf == kfin).astype(jnp.bfloat16)
         temp = hrow + off
         temp = jnp.where(temp > 360.0, temp - 360.0,
                          jnp.where(temp < 0.0, temp + 360.0, temp))
         t1, t2, t3 = split3(temp * in_img)
-        s1, s2, s3 = split3(srow * in_img)
-        v1, v2, v3 = split3(vrow * in_img)
         vals = jnp.concatenate(
-            [in_img, t1, t2, t3, s1, s2, s3, v1, v2, v3,
+            [in_img, t1, t2, t3,
+             sp[0][j:j + 1], sp[1][j:j + 1], sp[2][j:j + 1],
+             vp[0][j:j + 1], vp[1][j:j + 1], vp[2][j:j + 1],
              jnp.zeros((6, _CHUNK), jnp.float32)], axis=0)  # (16, CHUNK)
-        return acc + jax.lax.dot_general(
-            oh_k, vals, (((1,), (1,)), ((), ())),
+        acc = acc + jax.lax.dot_general(
+            oh_k, vals.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)           # (C, 16), 1 pass
-
-    acc = jax.lax.fori_loop(0, h_ref.shape[1], row,
-                            jnp.zeros((c, 16), jnp.float32))
 
     @pl.when(step == 0)
     def _():

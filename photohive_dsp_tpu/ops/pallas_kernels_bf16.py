@@ -112,59 +112,76 @@ class _MergedSums:
         self.ohs, self.vls, self.lanes = [], [], 0
 
 
-def _cell_counts_rgb_kernel_bf16(rgb_ref, out_ref, *, num_cells: int, cfg,
-                                 wc: int):
-    """Histogram + saturation sum; see _cell_counts_rgb_kernel."""
+def _cell_counts_rgb_kernel_bf16(rgb_ref, out_ref, s_ref, *,
+                                 num_cells: int, cfg, wc: int):
+    """Histogram + saturation sum; see _cell_counts_rgb_kernel.
+
+    Counts go through an int8 one-hot x int8 ones GEMM with an int32
+    accumulator — exact for ANY count (no f32 2^24 bound) and the int8
+    MXU runs at twice the bf16 rate (measured -2.3 ms at 33 MP).  The
+    saturation sum (a GLOBAL mean's numerator — it never needed the
+    one-hot) accumulates on the VPU into an (8, 128) lane-parallel
+    accumulator instead of riding three bf16-split GEMM columns."""
     step = pl.program_id(1)
     c = num_cells
     w = rgb_ref.shape[3]
     rows = rgb_ref.shape[2]
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (c, wc), 0)
-    ones = jnp.ones((1, wc), jnp.float32)
 
     h8, s8, v8, c8 = _hsv_cells_block(rgb_ref, cfg)
-    sp1, sp2, sp3 = _split3(s8)
+    del h8, v8
 
-    ms = _MergedSums(jnp.zeros((c, 4), jnp.float32))
+    ohs = []
     for j in range(rows):
         for k0 in range(w // wc):
             sl = slice(k0 * wc, (k0 + 1) * wc)
-            oh_c = _onehot_bf16(iota_c, c8[j:j + 1, sl])
-            vals = jnp.concatenate(
-                [ones, sp1[j:j + 1, sl], sp2[j:j + 1, sl],
-                 sp3[j:j + 1, sl]], axis=0)               # (4, wc) f32
-            ms.add(oh_c, vals.astype(jnp.bfloat16))
-    ms.flush()
-    acc = ms.acc
-    del h8, v8
+            ohs.append((iota_c == c8[j:j + 1, sl]).astype(jnp.int8))
+    oh_all = jnp.concatenate(ohs, axis=1)                 # (C, rows*w)
+    ones = jnp.ones((8, oh_all.shape[1]), jnp.int8)
+    acc = jax.lax.dot_general(oh_all, ones, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.int32)  # (C, 8)
+
+    s_acc = jnp.zeros((8, 128), jnp.float32)
+    for k0 in range(w // 128):
+        s_acc = s_acc + s8[:, k0 * 128:(k0 + 1) * 128]
 
     @pl.when(step == 0)
     def _():
         out_ref[0] = acc
+        s_ref[0] = s_acc
 
     @pl.when(step > 0)
     def _():
         out_ref[0] += acc
+        s_ref[0] += s_acc
 
 
 def cell_counts_s_from_rgb(rgb: jnp.ndarray, cfg):
-    """bf16-variant twin of pallas_kernels.cell_counts_s_from_rgb."""
+    """bf16-variant twin of pallas_kernels.cell_counts_s_from_rgb.
+
+    The saturation sum reassociates relative to the split-GEMM form
+    (per-lane f32 accumulators, reduced outside) — same ~sqrt(n)*eps
+    error class, tested against the XLA mean at 1e-6 relative."""
     b, _, hh, ww = rgb.shape
     c = cfg.num_cells
     wc = _lane_chunk(ww)
-    out = pl.pallas_call(
+    assert ww % 128 == 0  # palette_rgb_eligible guarantees this
+    out, s_out = pl.pallas_call(
         functools.partial(_cell_counts_rgb_kernel_bf16, num_cells=c,
                           cfg=cfg, wc=wc),
         grid=(b, hh // _ROWS),
         in_specs=[pl.BlockSpec((1, 3, _ROWS, ww),
                                lambda bb, i: (bb, 0, i, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, c, 4), lambda bb, i: (bb, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, c, 4), jnp.float32),
+        out_specs=(pl.BlockSpec((1, c, 8), lambda bb, i: (bb, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 8, 128), lambda bb, i: (bb, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((b, c, 8), jnp.int32),
+                   jax.ShapeDtypeStruct((b, 8, 128), jnp.float32)),
     )(rgb)
-    counts = jnp.round(out[..., 0]).astype(jnp.int32)
-    s_sum = jnp.sum(out[..., 1] + out[..., 2] + out[..., 3], axis=-1)
+    counts = out[..., 0]
+    s_sum = jnp.sum(s_out, axis=(1, 2))
     return counts, s_sum
 
 
