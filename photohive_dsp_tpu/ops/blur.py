@@ -72,10 +72,16 @@ class PolarTables(NamedTuple):
     pad_index: jnp.ndarray   # (A*R, Lmax) int32 (gather path, XLA/CPU) | None
     bin_counts: jnp.ndarray  # (A*R,) int32
     bin_ids: jnp.ndarray     # (H * fft_width,) int32 (Pallas / flat path)
+    # Local-dictionary tables for the chunked Pallas kernel (None on paths
+    # that build tables directly, e.g. the per-shard sharded body):
+    local_ids: jnp.ndarray = None  # (n_chunks, 512, 1) int32
+    dict_ids: jnp.ndarray = None   # (n_chunks, K) int32, sentinel A*R
 
     @classmethod
     def for_shape(cls, height: int, width: int, cfg: ReportConfig,
                   max_table_bytes: int = None) -> "PolarTables":
+        from .geometry import polar_chunk_tables
+
         geom = polar_geometry(height, width, cfg.angle_partitions,
                               cfg.radius_partitions)
         budget = (max_table_bytes if max_table_bytes is not None
@@ -83,9 +89,13 @@ class PolarTables(NamedTuple):
         pad = None
         if geom.pad_index.size * 4 <= budget:
             pad = jnp.asarray(geom.pad_index)
+        num_bins = cfg.angle_partitions * cfg.radius_partitions
+        dict_ids, local_ids = polar_chunk_tables(geom.bin_ids, num_bins)
         return cls(pad_index=pad,
                    bin_counts=jnp.asarray(geom.bin_counts),
-                   bin_ids=jnp.asarray(geom.bin_ids))
+                   bin_ids=jnp.asarray(geom.bin_ids),
+                   local_ids=jnp.asarray(local_ids),
+                   dict_ids=jnp.asarray(dict_ids))
 
 
 def polar_bin_sums_flat_xla(flat_vals: jnp.ndarray, bin_ids: jnp.ndarray,
@@ -153,9 +163,17 @@ def blur_profile_bins_batched(mag_norm: jnp.ndarray, tables: PolarTables,
     b = mag_norm.shape[0]
     num_bins = num_angle_bins * num_radius_bins
     if use_pallas:
+        import os
+
         from . import pallas_kernels as pk
-        sums = pk.polar_bin_sums(mag_norm.reshape(b, -1), tables.bin_ids,
-                                 num_bins)
+        if tables.dict_ids is not None and \
+                os.environ.get("PHOTOHIVE_POLAR_LOCAL", "1") == "1":
+            sums = pk.polar_bin_sums_local(
+                mag_norm.reshape(b, -1), tables.local_ids, tables.dict_ids,
+                num_bins)
+        else:
+            sums = pk.polar_bin_sums(mag_norm.reshape(b, -1),
+                                     tables.bin_ids, num_bins)
         counts = tables.bin_counts.astype(mag_norm.dtype)
         means = jnp.where(tables.bin_counts[None, :] > 0,
                           sums / jnp.maximum(counts, 1.0)[None, :], 0.0)

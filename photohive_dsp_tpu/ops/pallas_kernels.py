@@ -82,6 +82,7 @@ def _pad_to(x: jnp.ndarray, mult: int, axis: int, value) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 _POLAR_CHUNK = 512
+_POLAR_GROUP = 8  # chunks per local-kernel grid step (output sublane mult)
 
 
 def _polar_kernel(ids_ref, v_ref, out_ref, *, num_bins: int):
@@ -156,6 +157,77 @@ def polar_bin_sums(vals: jnp.ndarray, bin_ids: jnp.ndarray,
     # columns holds term s of image b at column s * b + b_idx.
     out = out[:num_bins, :b] + out[:num_bins, b:2 * b] + out[:num_bins, 2 * b:]
     return out.T                                         # (B, num_bins)
+
+
+def _polar_local_kernel(lids_ref, v_ref, out_ref, *, k_local: int):
+    """Per-chunk bin sums against the chunk's LOCAL bin dictionary.
+
+    The global one-hot contraction pays (A*R, CHUNK) compares and
+    A*R x 3B x CHUNK MACs per chunk; a 512-px chunk only touches <= ~64
+    distinct bins (geometry.polar_chunk_tables), so the local one-hot is
+    ~45x smaller.  Both GEMM operands are in the MXU's natural layout —
+    v3 (3B, CHUNK) contracts its lanes, the one-hot (CHUNK, K) its
+    sublanes (local ids arrive pre-transposed from the host) — so no
+    in-kernel relayout exists (a lane-lane contraction makes Mosaic
+    transpose an operand; see the sums-GEMM experiment in SPEED.md)."""
+    iota = jax.lax.broadcasted_iota(
+        jnp.int32, (_POLAR_CHUNK, k_local), 1)
+    v = v_ref[...]                                       # (B, G*CHUNK)
+    hi = v.astype(jnp.bfloat16)
+    r = v - hi.astype(jnp.float32)
+    mid = r.astype(jnp.bfloat16)
+    lo = (r - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    v3 = jnp.concatenate([hi, mid, lo], axis=0)          # (3B, G*CHUNK)
+    parts = []
+    for g in range(_POLAR_GROUP):
+        lids = lids_ref[0, g * _POLAR_CHUNK:(g + 1) * _POLAR_CHUNK]
+        onehot = (iota == lids).astype(jnp.bfloat16)     # (CHUNK, K)
+        parts.append(jax.lax.dot_general(
+            v3[:, g * _POLAR_CHUNK:(g + 1) * _POLAR_CHUNK], onehot,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))         # (3B, K)
+    out_ref[...] = jnp.stack(parts, axis=1)              # (3B, G, K)
+
+
+def polar_bin_sums_local(vals: jnp.ndarray, local_ids: jnp.ndarray,
+                         dict_ids: jnp.ndarray, num_bins: int)\
+        -> jnp.ndarray:
+    """Bin sums via per-chunk local dictionaries: (B, P) f32 ->
+    (B, num_bins) f32.  ``local_ids``/``dict_ids`` come from
+    geometry.polar_chunk_tables.
+
+    The per-chunk (3B, K) partials land in a (3B, n_chunks, K) layout
+    (minor dims contiguous — no transpose anywhere), then the GLOBAL
+    combine reuses ``polar_bin_sums`` recursively: the partial table is
+    ~128x smaller than the pixel stream, so the full-width one-hot
+    contraction that was the bottleneck at pixel scale is trivial here,
+    and its sentinel handling drops the dictionaries' padding slots for
+    free.  (An XLA scatter-add combine measured +9 ms at batch 16 —
+    worse than the 7 ms the local kernel saves; this combine is ~1 ms.)
+    Bin sums reassociate relative to the global-accumulator kernel
+    (exact split-term products either way, same SNR class)."""
+    b, p = vals.shape
+    n_chunks, k_local = dict_ids.shape                   # n_chunks % 8 == 0
+    g = _POLAR_GROUP
+    vals_p = _pad_to(vals, g * _POLAR_CHUNK, 1, 0.0)
+    lids = local_ids.reshape(n_chunks // g, g * _POLAR_CHUNK, 1)
+    parts = pl.pallas_call(
+        functools.partial(_polar_local_kernel, k_local=k_local),
+        grid=(n_chunks // g,),
+        in_specs=[
+            pl.BlockSpec((1, g * _POLAR_CHUNK, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, g * _POLAR_CHUNK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3 * b, g, k_local), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3 * b, n_chunks, k_local),
+                                       jnp.float32),
+    )(lids, vals_p)
+    flat3 = parts.reshape(3 * b, n_chunks * k_local)
+    r = polar_bin_sums(flat3, dict_ids.reshape(-1), num_bins)  # (3B, NB)
+    return r[:b] + r[b:2 * b] + r[2 * b:]                # (B, num_bins)
 
 
 # ---------------------------------------------------------------------------
