@@ -38,12 +38,15 @@ def _want_pallas() -> bool:
 
 def _kernel_variant() -> str:
     """Env-dependent program-selection state, part of every
-    compiled-program cache key below so flipping PHOTOHIVE_PALETTE_KERNEL
-    or PHOTOHIVE_NO_PALLAS mid-process re-traces instead of silently
-    reusing the previous executable."""
+    compiled-program cache key below so flipping PHOTOHIVE_PALETTE_KERNEL,
+    PHOTOHIVE_POLAR_LOCAL, or PHOTOHIVE_NO_PALLAS mid-process re-traces
+    instead of silently reusing the previous executable."""
+    import os
+
     from ..ops.quantize import palette_kernel_variant
 
-    return f"{palette_kernel_variant()}|pallas={_want_pallas()}"
+    polar = os.environ.get("PHOTOHIVE_POLAR_LOCAL", "1")
+    return f"{palette_kernel_variant()}|pallas={_want_pallas()}|pl={polar}"
 
 
 def _pad_tail(x, pad: int):

@@ -166,3 +166,30 @@ def test_polar_table_budget_env_override(monkeypatch):
     monkeypatch.delenv("PHOTOHIVE_POLAR_TABLE_MB")
     # host default (CPU test env) keeps the table at this shape
     assert blur.PolarTables.for_shape(480, 640, CFG).pad_index is not None
+
+
+def test_polar_chunk_tables_invariants():
+    """Dictionary tables for the local polar kernel: every pixel's dict
+    entry resolves to its true bin id; sentinels cover padding; chunk
+    count is a multiple of the kernel's 8-chunk group."""
+    from photohive_dsp_tpu.ops.geometry import (polar_chunk_tables,
+                                                polar_geometry)
+
+    geom = polar_geometry(96, 256, 72, 40)
+    num_bins = 72 * 40
+    dict_ids, local_ids = polar_chunk_tables(geom.bin_ids, num_bins)
+    n, k = dict_ids.shape
+    assert n % 8 == 0 and k % 8 == 0
+    local = local_ids.reshape(n, -1)
+    chunk = local.shape[1]
+    p = geom.bin_ids.size
+    resolved = np.take_along_axis(
+        dict_ids, np.minimum(local, k - 1), axis=1)
+    flat = resolved.reshape(-1)[:p]
+    assert np.array_equal(flat, geom.bin_ids)  # real pixels exact
+    # padding pixels resolve to the sentinel pseudo-bin or a no-match slot
+    tail = np.arange(p, n * chunk)
+    tail_local = local.reshape(-1)[tail]
+    tail_ok = (tail_local == k) | (
+        resolved.reshape(-1)[tail] == num_bins)
+    assert tail_ok.all()

@@ -36,7 +36,7 @@ def build_variant(skip: frozenset, cfg, tables, use_pallas: bool):
                                                   rgb_to_pgm)
     from photohive_dsp_tpu.ops.fft import magnitude_fft_normalized
     from photohive_dsp_tpu.ops.quantize import color_palette_batched
-    from photohive_dsp_tpu.ops.sharpness import variance_sharpness
+    from photohive_dsp_tpu.ops.sharpness import variance_sharpness_batched
     from photohive_dsp_tpu.ops.stats import mean_saturation, rgb_statistics
 
     def fn(rgb, boxes, boxes_valid):
@@ -81,7 +81,10 @@ def build_variant(skip: frozenset, cfg, tables, use_pallas: bool):
         if "sharpness" in skip:
             sharp = jnp.zeros((b, boxes.shape[1])) + s_bar[:, None]
         else:
-            sharp = jax.vmap(variance_sharpness)(pgm, boxes, boxes_valid)
+            # The production batched formulation (shared Laplacian + ring
+            # corrections) — the per-box masked path overstated this
+            # stage's delta ~3x.
+            sharp = variance_sharpness_batched(pgm, boxes, boxes_valid)
 
         dc = (stats[:, 0] + stats[:, 1] + stats[:, 2]) / 3.0
         if "fft" in skip:
