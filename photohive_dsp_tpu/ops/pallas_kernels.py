@@ -643,13 +643,17 @@ def palette_sums_by_k(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray,
 # Mosaic-vs-XLA agreement on real hardware).
 
 
-def _lane_chunk(w: int) -> int:
-    """Largest 128-multiple divisor of ``w`` that is <= 1024 lanes.
+def _lane_chunk(w: int, max_lanes: int = 2048) -> int:
+    """Largest 128-multiple divisor of ``w`` that is <= ``max_lanes``.
 
-    Bounds the per-row-chunk VMEM intermediates (the (12*q_pad, chunk)
-    gather GEMM output dominates) at the flat kernels' proven size."""
+    Bounds the per-row-chunk VMEM intermediates (the (ns*q_pad, chunk)
+    gather GEMM output dominates).  2048 lanes measured ~1.5 ms faster
+    than 1024 on the fused batch-16 program (fewer, larger gathers and
+    one-hot builds); the wide q=40 tier keeps 1024 — its (~400, chunk)
+    f32 gather output would reach ~3.3 MB per chunk at 2048, crowding
+    VMEM next to the merged-sums buffers."""
     best = 0
-    for lanes in range(128, min(w, 1024) + 1, 128):
+    for lanes in range(128, min(w, max_lanes) + 1, 128):
         if w % lanes == 0:
             best = lanes
     return best
@@ -944,7 +948,7 @@ def palette_sums_by_k_rgb(rgb: jnp.ndarray, luts: jnp.ndarray,
     contract as palette_sums_by_k; requires palette_rgb_eligible(H, W)."""
     b, _, hh, ww = rgb.shape
     c = num_cells
-    wc = _lane_chunk(ww)
+    wc = _lane_chunk(ww, 1024 if q_pad > 8 else 2048)
     out = pl.pallas_call(
         functools.partial(_palette_rgb_kernel, num_cells=c, q_pad=q_pad,
                           cfg=cfg, wc=wc),

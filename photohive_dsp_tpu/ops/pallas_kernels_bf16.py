@@ -274,7 +274,7 @@ def palette_sums_by_k_rgb(rgb: jnp.ndarray, luts: jnp.ndarray,
     bf16-exact by construction, so the cast below is lossless."""
     b, _, hh, ww = rgb.shape
     c = num_cells
-    wc = _lane_chunk(ww)
+    wc = _lane_chunk(ww, 1024 if q_pad > 8 else 2048)
     out = pl.pallas_call(
         functools.partial(_palette_rgb_kernel_bf16, num_cells=c,
                           q_pad=q_pad, cfg=cfg, wc=wc),
