@@ -270,13 +270,15 @@ def test_full_pipeline_interpret_nondefault_config():
 
 def test_rgb_palette_kernels_interpret(cfg, tables):
     """The rgb-native kernels (in-kernel HSV + saturation sum) against the
-    XLA path, at a multi-lane-chunk width (1152 -> three 384-lane chunks
-    per row) so the static chunk loop is exercised."""
+    XLA path, at a multi-lane-chunk width (2304 -> two 1152-lane chunks
+    per row under the 2048-lane cap) so the static chunk loop is
+    exercised."""
     from photohive_dsp_tpu.ops import pallas_kernels as pk
-    assert pk.palette_rgb_eligible(16, 1152)
-    assert pk._lane_chunk(1152) == 384
+    assert pk.palette_rgb_eligible(16, 2304)
+    assert pk._lane_chunk(2304) == 1152
+    assert pk._lane_chunk(2304, 1024) == 768  # wide-tier cap still chunks
     rng = np.random.default_rng(11)
-    rgb = jnp.asarray(rng.random((2, 3, 16, 1152)), jnp.float32)
+    rgb = jnp.asarray(rng.random((2, 3, 16, 2304)), jnp.float32)
     with pltpu.force_tpu_interpret_mode():
         pal, s_sum = quantize.color_palette_batched_from_rgb(rgb, cfg,
                                                              tables)
