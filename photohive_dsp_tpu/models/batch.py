@@ -46,7 +46,9 @@ def _kernel_variant() -> str:
     from ..ops.quantize import palette_kernel_variant
 
     polar = os.environ.get("PHOTOHIVE_POLAR_LOCAL", "1")
-    return f"{palette_kernel_variant()}|pallas={_want_pallas()}|pl={polar}"
+    sharp = os.environ.get("PHOTOHIVE_SHARP_PALLAS", "1")
+    return (f"{palette_kernel_variant()}|pallas={_want_pallas()}"
+            f"|pl={polar}|sh={sharp}")
 
 
 def _pad_tail(x, pad: int):

@@ -429,3 +429,36 @@ def test_bf16_variant_is_default_and_routes_rgb(cfg, monkeypatch):
     assert quantize.use_rgb_palette_path(True, 1080, 1920)
     monkeypatch.setenv("PHOTOHIVE_PALETTE_KERNEL", "candidate")
     assert quantize.use_rgb_palette_path(True, 1080, 1920)
+
+
+def test_pallas_sharpness_kernel_matches_batched(cfg):
+    """The masked-tile Pallas sharpness kernel (ops/pallas_sharpness)
+    against the XLA batched fast path AND the f64 golden semantics:
+    exact masked-crop stencil per box, telescoped ring-weighted response
+    sums, per-tile box skipping.  Boxes include image-corner and
+    tile-straddling cases."""
+    from photohive_dsp_tpu.ops import pallas_sharpness as psp
+    from photohive_dsp_tpu.ops import sharpness as sh
+
+    rng = np.random.default_rng(13)
+    b, h, w = 2, 64, 256
+    pgm = jnp.asarray(rng.random((b, h, w)), jnp.float32)
+    boxes = np.zeros((b, 10, 4), np.int32)
+    boxes[:, 0] = (5, 40, 10, 200)
+    boxes[:, 1] = (20, 64, 100, 256)   # touches bottom/right edges
+    boxes[:, 2] = (0, 8, 0, 16)        # image corner
+    valid = np.zeros((b, 10), bool)
+    valid[:, :3] = True
+    db, dv = jnp.asarray(boxes), jnp.asarray(valid)
+    assert psp.eligible(h, w)
+    with pltpu.force_tpu_interpret_mode():
+        s1, s2 = psp.sharpness_sums(pgm, jnp.where(dv[..., None], db, 0))
+    n = np.maximum((boxes[..., 1] - boxes[..., 0])
+                   * (boxes[..., 3] - boxes[..., 2]), 1)
+    mean = np.asarray(s1) / n
+    var = np.asarray(s2) / n - mean * mean
+    got = np.where(valid, var / mean, 0.0)
+    ref = np.asarray(sh.variance_sharpness_batched(pgm, db, dv))
+    rel = np.abs(got - ref)[:, :3] / np.abs(ref)[:, :3]
+    assert rel.max() < 1e-5
+    assert np.array_equal(got[:, 3:], ref[:, 3:])  # invalid slots zero
