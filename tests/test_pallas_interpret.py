@@ -462,3 +462,30 @@ def test_pallas_sharpness_kernel_matches_batched(cfg):
     rel = np.abs(got - ref)[:, :3] / np.abs(ref)[:, :3]
     assert rel.max() < 1e-5
     assert np.array_equal(got[:, 3:], ref[:, 3:])  # invalid slots zero
+
+
+def test_rgb_palette_wide_tier_capped_lanes(cfg, tables):
+    """The rgb wide (q=40) kernel under its 1024-lane VMEM cap: same
+    sums as the q=8 kernel on a no-tie image (q_pad only widens the
+    candidate table; extra slots are sentinels)."""
+    from photohive_dsp_tpu.ops import pallas_kernels_bf16 as pkv
+
+    rng = np.random.default_rng(21)
+    rgb = jnp.asarray(rng.random((1, 3, 16, 2304)), jnp.float32)
+    c = cfg.num_cells
+    with pltpu.force_tpu_interpret_mode():
+        counts, _ = pkv.cell_counts_s_from_rgb(rgb, cfg)
+        sal = jax.vmap(lambda x: quantize.saliency_f32(
+            x, tables.s_v_f32, cfg))(counts)
+        order = quantize.saliency_argsort(sal, True)
+        assign = jax.vmap(
+            lambda cnt, o: quantize.parent_assignment_from_order(
+                cnt, o, 16 * 2304, cfg, tables))(counts, order)
+        lut8 = jax.vmap(lambda a: pk.palette_candidate_lut(
+            a, tables, c, 8))(assign)
+        lut40 = jax.vmap(lambda a: pk.palette_candidate_lut(
+            a, tables, c, 40))(assign)
+        s8 = pkv.palette_sums_by_k_rgb(rgb, lut8, c, 8, cfg)
+        s40 = pkv.palette_sums_by_k_rgb(rgb, lut40, c, 40, cfg)
+    assert np.array_equal(np.asarray(s8[..., 3]), np.asarray(s40[..., 3]))
+    assert np.abs(np.asarray(s8) - np.asarray(s40)).max() < 1e-2
