@@ -512,9 +512,12 @@ def _palette_kernel(h_ref, s_ref, v_ref, lut_ref, out_ref, *,
     sliced per row; one-hots are materialized in bf16 (the dtype the
     DEFAULT-precision MXU pass ingests anyway — bit-identical products,
     half the vreg writes; compares stay int32/f32, this target has no
-    bf16 compare).  The sums GEMM stays PER ROW: merging rows reassociates
-    the f32 adds and would break the exact padding-invariance the sharded
-    body relies on (test_palette_kernels_drop_hue_sentinel_pixels)."""
+    bf16 compare).  The block's 8 sums GEMMs merge into ONE K=8192
+    contraction — and this PRESERVES the exact padding-invariance the
+    sharded body relies on (test_palette_kernels_drop_hue_sentinel_
+    pixels): _shape_pixels always pads inputs to whole (_ROWS, _CHUNK)
+    blocks, so the merged reduction tree has identical structure with or
+    without sentinel tails, whose one-hot columns are exactly zero."""
     step = pl.program_id(1)
     c = num_cells
     q = q_pad
@@ -532,7 +535,7 @@ def _palette_kernel(h_ref, s_ref, v_ref, lut_ref, out_ref, *,
     sp = split3(s8 * in8)
     vp = split3(v8 * in8)
 
-    acc = jnp.zeros((c, 16), jnp.float32)
+    ohs, vls = [], []
     for j in range(h_ref.shape[1]):
         hrow = hc8[j:j + 1]                               # (1, CHUNK)
         srow = s8[j:j + 1]
@@ -577,9 +580,12 @@ def _palette_kernel(h_ref, s_ref, v_ref, lut_ref, out_ref, *,
              sp[0][j:j + 1], sp[1][j:j + 1], sp[2][j:j + 1],
              vp[0][j:j + 1], vp[1][j:j + 1], vp[2][j:j + 1],
              jnp.zeros((6, _CHUNK), jnp.float32)], axis=0)  # (16, CHUNK)
-        acc = acc + jax.lax.dot_general(
-            oh_k, vals.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)           # (C, 16), 1 pass
+        ohs.append(oh_k)
+        vls.append(vals.astype(jnp.bfloat16))
+    acc = jax.lax.dot_general(
+        jnp.concatenate(ohs, axis=1), jnp.concatenate(vls, axis=1),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)               # (C, 16), 1 pass
 
     @pl.when(step == 0)
     def _():
