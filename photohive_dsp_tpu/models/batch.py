@@ -47,8 +47,9 @@ def _kernel_variant() -> str:
 
     polar = os.environ.get("PHOTOHIVE_POLAR_LOCAL", "1")
     sharp = os.environ.get("PHOTOHIVE_SHARP_PALLAS", "1")
+    fft = os.environ.get("PHOTOHIVE_FFT_PALLAS", "1")
     return (f"{palette_kernel_variant()}|pallas={_want_pallas()}"
-            f"|pl={polar}|sh={sharp}")
+            f"|pl={polar}|sh={sharp}|fft={fft}")
 
 
 def _pad_tail(x, pad: int):

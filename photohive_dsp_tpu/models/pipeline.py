@@ -55,12 +55,26 @@ class ReportTables(NamedTuple):
 
     polar: PolarTables
     octree: OctreeTables
+    # Permuted polar tables consuming the Pallas FFT kernels' scrambled
+    # magnitude layout directly (ops/pallas_fft.py); None when that path
+    # is off or the shape is ineligible — the pipeline falls back to the
+    # XLA rfft2 + ``polar``.
+    polar_scrambled: PolarTables = None
 
     @classmethod
-    def build(cls, height: int, width: int, cfg: ReportConfig)\
-            -> "ReportTables":
+    def build(cls, height: int, width: int, cfg: ReportConfig,
+              scrambled_fft: bool = None) -> "ReportTables":
+        from ..ops import pallas_fft
+
+        if scrambled_fft is None:
+            scrambled_fft = (pallas_fft.use_pallas_fft(height, width)
+                             and jax.default_backend() not in
+                             ("cpu", "gpu", "cuda", "rocm", "METAL"))
+        ps = (pallas_fft.scrambled_polar_tables(height, width, cfg)
+              if scrambled_fft else None)
         return cls(polar=PolarTables.for_shape(height, width, cfg),
-                   octree=OctreeTables.for_config(cfg))
+                   octree=OctreeTables.for_config(cfg),
+                   polar_scrambled=ps)
 
 
 def full_report(rgb: jnp.ndarray, boxes: jnp.ndarray,
@@ -136,9 +150,23 @@ def full_report_batched(rgb: jnp.ndarray, boxes: jnp.ndarray,
     sharp = variance_sharpness_batched(pgm, boxes, boxes_valid)
 
     dc = (stats[:, 0] + stats[:, 1] + stats[:, 2]) / 3.0
-    mag = jax.vmap(magnitude_fft_normalized)(pgm - dc[:, None, None])
-    bins = blur_profile_bins_batched(mag, tables.polar, cfg.angle_partitions,
-                                     cfg.radius_partitions, use_pallas)
+    if use_pallas and tables.polar_scrambled is not None:
+        # Pallas 2-D FFT kernels; the scrambled spectrum layout is
+        # consumed by the permuted bin tables (ops/pallas_fft.py).
+        from ..ops.pallas_fft import (FftPlan,
+                                      magnitude_fft_scrambled_normalized)
+
+        plan = FftPlan.for_shape(pgm.shape[1], pgm.shape[2])
+        mag = magnitude_fft_scrambled_normalized(
+            pgm - dc[:, None, None], plan)
+        bins = blur_profile_bins_batched(
+            mag, tables.polar_scrambled, cfg.angle_partitions,
+            cfg.radius_partitions, use_pallas=True)
+    else:
+        mag = jax.vmap(magnitude_fft_normalized)(pgm - dc[:, None, None])
+        bins = blur_profile_bins_batched(mag, tables.polar,
+                                         cfg.angle_partitions,
+                                         cfg.radius_partitions, use_pallas)
     angles, mags = jax.vmap(
         lambda bb: vectorize_blur_profile(bb, cfg))(bins)
 
