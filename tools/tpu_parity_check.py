@@ -241,6 +241,27 @@ def main() -> int:
            / max(np.abs(refsh[bv]).max(), 1e-9))
     check(f"batched sharpness close ({rel:.1e})", rel < 1e-4)
 
+    # Pallas 2-D FFT magnitude kernels (scrambled layout) vs XLA rfft2,
+    # unscrambled on the host via the static maps.  The full-pipeline
+    # check above already covers the bins; this isolates the kernels.
+    from photohive_dsp_tpu.ops import pallas_fft
+    from photohive_dsp_tpu.ops.fft import magnitude_fft
+
+    fh, fw = 480, 640
+    assert pallas_fft.eligible(fh, fw)
+    plan = pallas_fft.FftPlan.for_shape(fh, fw)
+    pgm2 = jnp.asarray(rng.standard_normal((2, fh, fw)) * 40, jnp.float32)
+    magk = np.asarray(jax.jit(
+        lambda x: pallas_fft.magnitude2_scrambled(x, plan))(pgm2))
+    magx = np.asarray(jax.jit(jax.vmap(magnitude_fft))(pgm2))
+    true_row, true_col = pallas_fft.scramble_maps(fh, fw)
+    flat = magk.transpose(0, 2, 1, 3).reshape(2, fh, -1)
+    keep = true_col <= fw // 2
+    got = flat[:, np.argsort(true_row)][:, :, keep][
+        :, :, np.argsort(true_col[keep])]
+    fft_rel = (np.linalg.norm(got - magx) / np.linalg.norm(magx))
+    check(f"pallas fft magnitude close ({fft_rel:.1e})", fft_rel < 1e-5)
+
     print("ALL OK" if ok else "FAILURES PRESENT")
     return 0 if ok else 1
 
