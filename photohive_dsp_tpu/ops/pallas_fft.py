@@ -184,11 +184,12 @@ class FftPlan(NamedTuple):
     m: int           # H // 8 column tiles
     # Twiddle tables lead with the statically-indexed dim so every
     # in-kernel slice is a leading-dim index of an (8, 128)-tiled value
-    # (misaligned sublane slices are rejected by Mosaic).
-    twl: jnp.ndarray      # (7, 2, 8, 128) f32 lane-ladder twiddles (re, im)
-    twrow: jnp.ndarray    # (Q, 2, 8, 128) f32 W_W^{q*bitrev(lane)}
-    twcol: jnp.ndarray    # (2, H, 128) f32 W_H^{e*u} at rows 8u+e
-    tws: jnp.ndarray      # (2, 3, 8, 128) f32 sublane-ladder twiddles
+    # (misaligned sublane slices are rejected by Mosaic).  All tables are
+    # host numpy (see for_shape) and become per-trace constants.
+    twl: np.ndarray       # (7, 2, 8, 128) f32 lane-ladder twiddles (re, im)
+    twrow: np.ndarray     # (Q, 2, 8, 128) f32 W_W^{q*bitrev(lane)}
+    twcol: np.ndarray     # (2, H, 128) f32 W_H^{e*u} at rows 8u+e
+    tws: np.ndarray       # (2, 3, 8, 128) f32 sublane-ladder twiddles
     dftq: tuple           # ((S, Q) re, (S, Q) im) python-float tuples
 
     @classmethod
@@ -219,15 +220,19 @@ class FftPlan(NamedTuple):
         dftq = (tuple(tuple(float(v) for v in row) for row in dft.real),
                 tuple(tuple(float(v) for v in row) for row in dft.imag))
 
+        # Tables stay NUMPY in the (lru-cached) plan: converting to jax
+        # arrays here would capture a tracer when the first for_shape call
+        # happens inside a jit trace, then leak it into later traces.
+        # They enter each trace as fresh constants at the pallas_call.
         def ri(a):
             """(X, 128) complex -> (X, 2, 8, 128) f32: re/im planes
             broadcast across 8 sublanes, stage/group index leading."""
             rr = np.stack([a.real, a.imag], axis=1)[:, :, None, :]
             rr = np.broadcast_to(rr, (a.shape[0], 2, _SUB, _LANES))
-            return jnp.asarray(np.ascontiguousarray(rr), jnp.float32)
+            return np.ascontiguousarray(rr).astype(np.float32)
 
         def ri2(a):
-            return jnp.asarray(np.stack([a.real, a.imag]), jnp.float32)
+            return np.stack([a.real, a.imag]).astype(np.float32)
 
         return cls(height=height, width=width, q=q, s=s, m=m,
                    twl=ri(twl), twrow=ri(twrow), twcol=ri2(twcol),
@@ -422,7 +427,7 @@ def magnitude2_scrambled(pgm: jnp.ndarray, plan: FftPlan) -> jnp.ndarray:
         ),
         out_shape=(jax.ShapeDtypeStruct((b, s, h, _LANES), jnp.float32),
                    jax.ShapeDtypeStruct((b, s, h, _LANES), jnp.float32)),
-    )(xt, plan.twl, plan.twrow)
+    )(xt, jnp.asarray(plan.twl), jnp.asarray(plan.twrow))
 
     mag = pl.pallas_call(
         functools.partial(_col_fft_kernel, m=m),
@@ -441,7 +446,7 @@ def magnitude2_scrambled(pgm: jnp.ndarray, plan: FftPlan) -> jnp.ndarray:
                                lambda bb, ss: (bb, ss, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, s, h, _LANES), jnp.float32),
-    )(rre, rim, plan.twcol, plan.tws)
+    )(rre, rim, jnp.asarray(plan.twcol), jnp.asarray(plan.tws))
     return mag
 
 
