@@ -122,9 +122,11 @@ def build_fn(cfg, height, width, use_pallas):
 
     @jax.jit
     def fn(u8, boxes, valid):
-        rgb = jnp.moveaxis(u8, -1, 1).astype(jnp.float32) / 255.0
+        from photohive_dsp_tpu.ops.colorspace import u8_to_unit_f32
+        u8p = jnp.moveaxis(u8, -1, 1)
+        rgb = u8_to_unit_f32(u8p)
         return full_report_batched(rgb, boxes, valid, tables, cfg,
-                                   use_pallas)
+                                   use_pallas, rgb_u8=u8p)
 
     return fn
 

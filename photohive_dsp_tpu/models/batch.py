@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import MAX_CROP_BOXES, ReportConfig
+from ..ops.colorspace import u8_to_unit_f32
 from .pipeline import ReportData, ReportTables, full_report
 
 
@@ -48,8 +49,9 @@ def _kernel_variant() -> str:
     polar = os.environ.get("PHOTOHIVE_POLAR_LOCAL", "1")
     sharp = os.environ.get("PHOTOHIVE_SHARP_PALLAS", "1")
     fft = os.environ.get("PHOTOHIVE_FFT_PALLAS", "1")
+    u8k = os.environ.get("PHOTOHIVE_U8_KERNELS", "1")
     return (f"{palette_kernel_variant()}|pallas={_want_pallas()}"
-            f"|pl={polar}|sh={sharp}|fft={fft}")
+            f"|pl={polar}|sh={sharp}|fft={fft}|u8={u8k}")
 
 
 def _pad_tail(x, pad: int):
@@ -83,9 +85,10 @@ def _compiled_u8_batch_fn(height: int, width: int, cfg: ReportConfig,
     use_pallas = _want_pallas()
 
     def fn(u8, boxes, valid, tables):
-        rgb = jnp.moveaxis(u8, -1, 1).astype(jnp.float32) / 255.0
+        u8p = jnp.moveaxis(u8, -1, 1)
+        rgb = u8_to_unit_f32(u8p)
         return full_report_batched(rgb, boxes, valid, tables, cfg,
-                                   use_pallas)
+                                   use_pallas, rgb_u8=u8p)
 
     return jax.jit(fn), tables
 
@@ -108,7 +111,7 @@ def _dp_spatial_u8_fn(mesh, batch: int, height: int, width: int,
 
     @jax.jit
     def fn(u8, boxes, valid):
-        rgb = jnp.moveaxis(u8, -1, 1).astype(jnp.float32) / 255.0
+        rgb = u8_to_unit_f32(jnp.moveaxis(u8, -1, 1))
         return run(rgb, boxes, valid)
 
     return fn

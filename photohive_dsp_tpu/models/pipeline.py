@@ -21,6 +21,7 @@ Behavioral subtleties honored (see SURVEY.md §3.1):
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Tuple
 
 import jax
@@ -118,7 +119,8 @@ def full_report(rgb: jnp.ndarray, boxes: jnp.ndarray,
 def full_report_batched(rgb: jnp.ndarray, boxes: jnp.ndarray,
                         boxes_valid: jnp.ndarray, tables: ReportTables,
                         cfg: ReportConfig,
-                        use_pallas: bool = False) -> ReportData:
+                        use_pallas: bool = False,
+                        rgb_u8: jnp.ndarray = None) -> ReportData:
     """Batched report: (B, 3, H, W) -> ReportData with leading batch dim.
 
     The throughput path: elementwise/FFT/stencil stages are vmapped XLA (they
@@ -138,8 +140,15 @@ def full_report_batched(rgb: jnp.ndarray, boxes: jnp.ndarray,
     if use_rgb_palette_path(use_pallas, down.shape[2], down.shape[3]):
         # TPU fast path: HSV lives only inside the rgb-native kernels
         # (never in HBM); the counts kernel also accumulates mean
-        # saturation's numerator.
-        palette, s_sum = color_palette_batched_from_rgb(down, cfg,
+        # saturation's numerator.  When the caller provides the planar
+        # uint8 frames and no decimation is configured, the kernels
+        # consume u8 directly (in-kernel /255.0, bit-identical) and the
+        # f32 rgb planes never materialize for the palette stage.
+        pal_in = down
+        if rgb_u8 is not None and cfg.downsample_rate == 1 and \
+                os.environ.get("PHOTOHIVE_U8_KERNELS", "1") == "1":
+            pal_in = rgb_u8
+        palette, s_sum = color_palette_batched_from_rgb(pal_in, cfg,
                                                         tables.octree)
         s_bar = s_sum / jnp.float32(down.shape[2] * down.shape[3])
     else:

@@ -51,10 +51,36 @@ from .pallas_kernels import (_BIG, _ROWS, _cell_ids_row, _hsv_rows,
 
 def _hsv_cells_block(rgb_ref, cfg):
     """HSV + cell ids for the whole (_ROWS, W) block at full sublane
-    utilization.  Op-for-op the same math as _hsv_rows/_cell_ids_row."""
+    utilization.  Op-for-op the same math as _hsv_rows/_cell_ids_row.
+
+    Accepts uint8 blocks too (the u8-native path: the planarized f32 rgb
+    never materializes in HBM, 4x less kernel input traffic).  The
+    in-kernel conversion is colorspace.u8_to_unit_f32's division-free
+    correctly-rounded sequence (Mosaic's hardware divide approximates
+    differently from XLA's — see that docstring), so the planes are
+    bit-identical to every other ingest flavor (hardware-gated by
+    tools/tpu_parity_check.py)."""
     r = rgb_ref[0, 0]                                     # (_ROWS, W)
     g = rgb_ref[0, 1]
     b = rgb_ref[0, 2]
+    if r.dtype == jnp.uint8:
+        from .colorspace import INV255_F32
+
+        def conv(x):
+            # Mosaic has no direct u8->f32 cast; go through int32.  Same
+            # bitcast-exponent *256 as u8_to_unit_f32 (a literal *256.0
+            # would constant-fold with *INV255 under interpret mode's XLA
+            # simplifier and re-round).
+            xf = x.astype(jnp.int32).astype(jnp.float32)
+            q0 = xf * INV255_F32
+            s = jax.lax.bitcast_convert_type(
+                jax.lax.bitcast_convert_type(q0, jnp.int32) + (8 << 23),
+                jnp.float32)
+            rr = (xf - s) + q0
+            q = q0 + rr * INV255_F32
+            return jnp.where(xf == 0.0, 0.0, q)
+
+        r, g, b = conv(r), conv(g), conv(b)
     h, s, v = _hsv_rows(r, g, b)
     cells = _cell_ids_row(h, s, v, cfg)
     return h, s, v, cells

@@ -537,6 +537,12 @@ def color_palette_batched_from_rgb(down: jnp.ndarray, cfg: ReportConfig,
         from . import pallas_kernels_bf16 as pkv
     else:
         pkv = pk
+        if down.dtype == jnp.uint8:
+            # only the bf16 kernel family decodes u8 in-kernel; the
+            # candidate-variant rollback converts up front (bit-identical
+            # to the normal ingest conversion).
+            from .colorspace import u8_to_unit_f32
+            down = u8_to_unit_f32(down)
 
     b, _, hh, ww = down.shape
     total_pixels = hh * ww

@@ -67,8 +67,11 @@ def data_parallel_report_u8(height: int, width: int, cfg: ReportConfig,
     tables = ReportTables.build(height, width, cfg)
 
     def body(u8, boxes, valid, tbl):
-        rgb = jnp.moveaxis(u8, -1, 1).astype(jnp.float32) / 255.0
-        return full_report_batched(rgb, boxes, valid, tbl, cfg, use_pallas)
+        from ..ops.colorspace import u8_to_unit_f32
+        u8p = jnp.moveaxis(u8, -1, 1)
+        rgb = u8_to_unit_f32(u8p)
+        return full_report_batched(rgb, boxes, valid, tbl, cfg, use_pallas,
+                                   rgb_u8=u8p)
 
     return jax.jit(_dp_shard_map(mesh, body)), tables
 

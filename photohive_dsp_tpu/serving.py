@@ -113,7 +113,8 @@ def export_report(height: int, width: int,
 
         @jax.jit
         def fn(u8, boxes, valid):
-            rgb = jnp.moveaxis(u8, -1, 1).astype(jnp.float32) / 255.0
+            from .ops.colorspace import u8_to_unit_f32
+            rgb = u8_to_unit_f32(jnp.moveaxis(u8, -1, 1))
             return full_report_batched(rgb, boxes, valid, tables, cfg,
                                        use_pallas)
 

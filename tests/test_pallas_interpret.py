@@ -489,3 +489,51 @@ def test_rgb_palette_wide_tier_capped_lanes(cfg, tables):
         s40 = pkv.palette_sums_by_k_rgb(rgb, lut40, c, 40, cfg)
     assert np.array_equal(np.asarray(s8[..., 3]), np.asarray(s40[..., 3]))
     assert np.abs(np.asarray(s8) - np.asarray(s40)).max() < 1e-2
+
+
+def test_u8_native_palette_kernels_bit_identical(cfg, tables):
+    """The u8-input bf16 kernels must match the f32-input kernels fed
+    HOST-converted planes bit-for-bit.  The in-kernel conversion is the
+    division-free correctly-rounded sequence (colorspace.u8_to_unit_f32)
+    built from IEEE mul/add only — exact here in interpret mode AND on
+    silicon (the raw hardware divides would not be: Mosaic and XLA lower
+    f32 divide to different approximations; tools/tpu_parity_check.py
+    "u8 ingest exact" pins all three flavors on the chip)."""
+    import os
+
+    from photohive_dsp_tpu.ops import quantize as qz
+
+    rng = np.random.default_rng(33)
+    u8 = jnp.asarray(rng.integers(0, 256, (2, 3, 96, 128)), jnp.uint8)
+    f32 = jnp.asarray(np.asarray(u8).astype(np.float32)
+                      / np.float32(255.0))
+    old = os.environ.get("PHOTOHIVE_PALETTE_KERNEL")
+    os.environ["PHOTOHIVE_PALETTE_KERNEL"] = "bf16"
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            pal_u8, ss_u8 = qz.color_palette_batched_from_rgb(u8, cfg,
+                                                              tables)
+            pal_f32, ss_f32 = qz.color_palette_batched_from_rgb(f32, cfg,
+                                                                tables)
+    finally:
+        if old is None:
+            os.environ.pop("PHOTOHIVE_PALETTE_KERNEL", None)
+        else:
+            os.environ["PHOTOHIVE_PALETTE_KERNEL"] = old
+    assert np.array_equal(np.asarray(pal_u8.parent_ids),
+                          np.asarray(pal_f32.parent_ids))
+    assert np.array_equal(np.asarray(pal_u8.percentages),
+                          np.asarray(pal_f32.percentages))
+    assert np.array_equal(np.asarray(pal_u8.hsv), np.asarray(pal_f32.hsv))
+    assert np.array_equal(np.asarray(ss_u8), np.asarray(ss_f32))
+
+
+def test_u8_to_unit_f32_exact():
+    """The device ingest sequence == correctly rounded x/255.0 for all
+    256 inputs, on this backend's IEEE mul/add (division-free)."""
+    from photohive_dsp_tpu.ops.colorspace import u8_to_unit_f32
+
+    x = jnp.asarray(np.arange(256, dtype=np.uint8))
+    got = np.asarray(jax.jit(u8_to_unit_f32)(x))
+    want = np.arange(256, dtype=np.float32) / np.float32(255.0)
+    assert np.array_equal(got, want)

@@ -38,9 +38,11 @@ def main():
     use_pallas = _want_pallas()
 
     def fn(u8, boxes, valid, tables):
-        rgb = jnp.moveaxis(u8, -1, 1).astype(jnp.float32) / 255.0
+        from photohive_dsp_tpu.ops.colorspace import u8_to_unit_f32
+        u8p = jnp.moveaxis(u8, -1, 1)
+        rgb = u8_to_unit_f32(u8p)
         return full_report_batched(rgb, boxes, valid, tables, cfg,
-                                   use_pallas)
+                                   use_pallas, rgb_u8=u8p)
 
     u8 = jax.ShapeDtypeStruct((batch, height, width, 3), jnp.uint8)
     boxes = jax.ShapeDtypeStruct((batch, 10, 4), jnp.int32)

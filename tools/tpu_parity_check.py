@@ -241,6 +241,68 @@ def main() -> int:
            / max(np.abs(refsh[bv]).max(), 1e-9))
     check(f"batched sharpness close ({rel:.1e})", rel < 1e-4)
 
+    # u8 ingest: every flavor — host numpy (correctly rounded /255), the
+    # on-device XLA u8_to_unit_f32 sequence, and the u8-native Mosaic
+    # kernels' in-kernel sequence — must be BIT-IDENTICAL (exhaustive over
+    # all 256 values; the raw hardware divides disagree, which is why the
+    # division-free sequence exists — ops/colorspace.u8_to_unit_f32).
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from photohive_dsp_tpu.ops.colorspace import INV255_F32, u8_to_unit_f32
+
+    uvals = np.arange(256, dtype=np.uint8).reshape(2, 128)
+    u256 = jnp.asarray(np.broadcast_to(uvals[:, None, :], (2, 8, 128)))
+
+    def _conv_kern(x_ref, o_ref):
+        xf = x_ref[0].astype(jnp.int32).astype(jnp.float32)
+        q0 = xf * INV255_F32
+        s = jax.lax.bitcast_convert_type(
+            jax.lax.bitcast_convert_type(q0, jnp.int32) + (8 << 23),
+            jnp.float32)
+        rr = (xf - s) + q0
+        q = q0 + rr * INV255_F32
+        o_ref[0] = jnp.where(xf == 0.0, 0.0, q)
+
+    mos = np.asarray(pl.pallas_call(
+        _conv_kern, grid=(2,),
+        in_specs=[pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, 8, 128), jnp.float32),
+    )(u256))
+    xlacv = np.asarray(jax.jit(u8_to_unit_f32)(u256))
+    hostcv = (np.asarray(u256).astype(np.float32)
+              / np.float32(255.0))
+    check("u8 ingest exact: mosaic == host (all 256)",
+          bool(np.array_equal(mos, hostcv)))
+    check("u8 ingest exact: xla == host (all 256)",
+          bool(np.array_equal(xlacv, hostcv)))
+
+    old_var = os.environ.get("PHOTOHIVE_PALETTE_KERNEL")
+    os.environ["PHOTOHIVE_PALETTE_KERNEL"] = "bf16"
+    try:
+        u8img = jnp.asarray(rng.integers(0, 256, (2, 3, 96, 128)),
+                            jnp.uint8)
+        f32img = jnp.asarray(np.asarray(u8img).astype(np.float32)
+                             / np.float32(255.0))
+        pu8, su8 = jax.jit(lambda x: quantize.color_palette_batched_from_rgb(
+            x, cfg, tables))(u8img)
+        pf32, sf32 = jax.jit(lambda x: quantize.color_palette_batched_from_rgb(
+            x, cfg, tables))(f32img)
+        check("u8 palette ids exact", bool(np.array_equal(
+            np.asarray(pu8.parent_ids), np.asarray(pf32.parent_ids))))
+        check("u8 palette pct exact", bool(np.array_equal(
+            np.asarray(pu8.percentages), np.asarray(pf32.percentages))))
+        check("u8 saturation sum exact", bool(np.array_equal(
+            np.asarray(su8), np.asarray(sf32))))
+    finally:
+        if old_var is None:
+            os.environ.pop("PHOTOHIVE_PALETTE_KERNEL", None)
+        else:
+            os.environ["PHOTOHIVE_PALETTE_KERNEL"] = old_var
+
     # Pallas 2-D FFT magnitude kernels (scrambled layout) vs XLA rfft2,
     # unscrambled on the host via the static maps.  The full-pipeline
     # check above already covers the bins; this isolates the kernels.
