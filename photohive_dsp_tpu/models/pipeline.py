@@ -162,15 +162,23 @@ def full_report_batched(rgb: jnp.ndarray, boxes: jnp.ndarray,
     if use_pallas and tables.polar_scrambled is not None:
         # Pallas 2-D FFT kernels; the scrambled spectrum layout is
         # consumed by the permuted bin tables (ops/pallas_fft.py).
-        from ..ops.pallas_fft import (FftPlan,
+        from ..ops.pallas_fft import (FftPlan, blur_bins_scrambled_lognorm,
                                       magnitude_fft_scrambled_normalized)
 
         plan = FftPlan.for_shape(pgm.shape[1], pgm.shape[2])
-        mag = magnitude_fft_scrambled_normalized(
-            pgm - dc[:, None, None], plan)
-        bins = blur_profile_bins_batched(
-            mag, tables.polar_scrambled, cfg.angle_partitions,
-            cfg.radius_partitions, use_pallas=True)
+        if tables.polar_scrambled.dict_ids is not None and \
+                os.environ.get("PHOTOHIVE_POLAR_LOCAL", "1") == "1":
+            # fused log-normalize inside the local polar kernel: the
+            # normalized spectrum never materializes.
+            bins = blur_bins_scrambled_lognorm(
+                pgm - dc[:, None, None], plan, tables.polar_scrambled,
+                cfg.angle_partitions, cfg.radius_partitions)
+        else:
+            mag = magnitude_fft_scrambled_normalized(
+                pgm - dc[:, None, None], plan)
+            bins = blur_profile_bins_batched(
+                mag, tables.polar_scrambled, cfg.angle_partitions,
+                cfg.radius_partitions, use_pallas=True)
     else:
         mag = jax.vmap(magnitude_fft_normalized)(pgm - dc[:, None, None])
         bins = blur_profile_bins_batched(mag, tables.polar,

@@ -461,3 +461,30 @@ def magnitude_fft_scrambled_normalized(pgm_dc: jnp.ndarray,
     b = pgm_dc.shape[0]
     mag2 = magnitude2_scrambled(pgm_dc, plan).reshape(b, -1)
     return jax.vmap(normalize_fft)(mag2)
+
+
+def blur_bins_scrambled_lognorm(pgm_dc: jnp.ndarray, plan: FftPlan,
+                                tables, num_angle_bins: int,
+                                num_radius_bins: int) -> jnp.ndarray:
+    """Fused FFT -> log-normalize -> polar bin means, never materializing
+    the normalized spectrum: the local polar kernel applies the
+    reference's ``x<1 -> 0 else log(x)`` gate in-kernel (log_gate) and the
+    per-image G_s gain multiplies the bin sums outside (a scalar through a
+    linear sum — reassociation only; bins are SNR-gated).  Saves one full
+    spectrum write + read per batch vs normalize-then-bin.
+
+    ``tables`` is the scrambled PolarTables (scrambled_polar_tables)."""
+    from .pallas_kernels import polar_bin_sums_local
+
+    b = pgm_dc.shape[0]
+    mag2 = magnitude2_scrambled(pgm_dc, plan).reshape(b, -1)
+    mx = jnp.max(mag2, axis=1)
+    g_s = 1.0 / (2.0 * jnp.log(jnp.sqrt(mx) + 1.0))
+    num_bins = num_angle_bins * num_radius_bins
+    sums = polar_bin_sums_local(mag2, tables.local_ids, tables.dict_ids,
+                                num_bins, log_gate=True)
+    sums = sums * g_s[:, None]
+    counts = tables.bin_counts.astype(jnp.float32)
+    means = jnp.where(tables.bin_counts[None, :] > 0,
+                      sums / jnp.maximum(counts, 1.0)[None, :], 0.0)
+    return means.reshape(b, num_angle_bins, num_radius_bins)

@@ -159,7 +159,8 @@ def polar_bin_sums(vals: jnp.ndarray, bin_ids: jnp.ndarray,
     return out.T                                         # (B, num_bins)
 
 
-def _polar_local_kernel(lids_ref, v_ref, out_ref, *, k_local: int):
+def _polar_local_kernel(lids_ref, v_ref, out_ref, *, k_local: int,
+                        log_gate: bool = False):
     """Per-chunk bin sums against the chunk's LOCAL bin dictionary.
 
     The global one-hot contraction pays (A*R, CHUNK) compares and
@@ -173,6 +174,13 @@ def _polar_local_kernel(lids_ref, v_ref, out_ref, *, k_local: int):
     iota = jax.lax.broadcasted_iota(
         jnp.int32, (_POLAR_CHUNK, k_local), 1)
     v = v_ref[...]                                       # (B, G*CHUNK)
+    if log_gate:
+        # fused log-normalize, gain-deferred: the reference's
+        # x<1 -> 0 else log(x)*G_s (src/fft_processing.c:192-199) with
+        # the per-image G_s applied OUTSIDE the kernel — the gain is a
+        # per-image scalar, so sum(log(x))*G_s == sum(log(x)*G_s) up to
+        # f32 reassociation (the bins are SNR-gated, not bit-pinned).
+        v = jnp.where(v < 1.0, 0.0, jnp.log(jnp.where(v < 1.0, 1.0, v)))
     hi = v.astype(jnp.bfloat16)
     r = v - hi.astype(jnp.float32)
     mid = r.astype(jnp.bfloat16)
@@ -190,8 +198,8 @@ def _polar_local_kernel(lids_ref, v_ref, out_ref, *, k_local: int):
 
 
 def polar_bin_sums_local(vals: jnp.ndarray, local_ids: jnp.ndarray,
-                         dict_ids: jnp.ndarray, num_bins: int)\
-        -> jnp.ndarray:
+                         dict_ids: jnp.ndarray, num_bins: int,
+                         log_gate: bool = False) -> jnp.ndarray:
     """Bin sums via per-chunk local dictionaries: (B, P) f32 ->
     (B, num_bins) f32.  ``local_ids``/``dict_ids`` come from
     geometry.polar_chunk_tables.
@@ -212,7 +220,8 @@ def polar_bin_sums_local(vals: jnp.ndarray, local_ids: jnp.ndarray,
     vals_p = _pad_to(vals, g * _POLAR_CHUNK, 1, 0.0)
     lids = local_ids.reshape(n_chunks // g, g * _POLAR_CHUNK, 1)
     parts = pl.pallas_call(
-        functools.partial(_polar_local_kernel, k_local=k_local),
+        functools.partial(_polar_local_kernel, k_local=k_local,
+                          log_gate=log_gate),
         grid=(n_chunks // g,),
         in_specs=[
             pl.BlockSpec((1, g * _POLAR_CHUNK, 1), lambda i: (i, 0, 0),

@@ -121,3 +121,26 @@ def test_full_report_batched_scrambled_fft_path():
                           np.asarray(ref.blur_vector_angles))
     assert np.abs(np.asarray(fast.blur_vector_mags)
                   - np.asarray(ref.blur_vector_mags)).max() < 1e-4
+
+
+def test_fused_lognorm_bins_match_unfused():
+    """blur_bins_scrambled_lognorm (in-kernel log gate, deferred G_s) vs
+    the normalize-then-bin route — reassociation-level agreement."""
+    from photohive_dsp_tpu.ops.blur import blur_profile_bins_batched
+
+    height, width = 240, 384
+    cfg = ReportConfig()
+    rng = np.random.default_rng(17)
+    x = rng.standard_normal((2, height, width)).astype(np.float32) * 20.0
+    xj = jnp.asarray(x)
+    plan = pallas_fft.FftPlan.for_shape(height, width)
+    ptab = pallas_fft.scrambled_polar_tables(height, width, cfg)
+    with pltpu.force_tpu_interpret_mode():
+        fused = np.asarray(pallas_fft.blur_bins_scrambled_lognorm(
+            xj, plan, ptab, cfg.angle_partitions, cfg.radius_partitions))
+        mag_n = pallas_fft.magnitude_fft_scrambled_normalized(xj, plan)
+        unfused = np.asarray(blur_profile_bins_batched(
+            mag_n, ptab, cfg.angle_partitions, cfg.radius_partitions,
+            use_pallas=True))
+    assert snr_db(unfused, fused) > 80
+    assert np.abs(fused - unfused).max() < 1e-5
