@@ -75,28 +75,41 @@ DATASHEET = {
 BYTES_PER_PX = 22.0
 VPU_OPS_PER_PX = 168.0
 
-# Parity-constrained per-pixel costs: the pass structure that the
-# bit-exact reference semantics force on THIS design, assuming perfect
-# fusion and zero redundant materialization (each term is a distinct
-# producer/consumer that cannot share a pass without changing results
-# or requiring a fused mega-kernel the parity machinery precludes):
-#   u8 ingest read                                    3
-#   planarize f32 rgb write                          12
-#   stats/pgm pass: rgb read 12, pgm write 4         16
-#   stats variance pass (two-pass semantics): read   12
-#   palette histogram kernel: rgb read               12
-#   palette sums kernel: rgb read                    12
-#   sharpness: pgm read 4, response w+r 8            12
-#   FFT: pgm read 4, row-FFT half-spectrum w 8,
-#        col-FFT r+w 16, |.|^2+normalize w 4         32
-#   polar binning: spectrum read                      4
-# total ~115 B/px.  MXU: the palette candidate gather + slot-sum GEMMs
-# at the common q=8 tier, ~12.2k MAC/px = 24.4k flop/px (SPEED.md), vs
-# the FFT-only 105 of the idealized model.  VPU: the 2x cell-width
-# one-hot compares + hsv/cell/tie math, ~500 ops/px.
-PARITY_BYTES_PER_PX = 115.0
+# Parity-constrained per-pixel costs, v3 (the u8-ingest / Pallas-FFT /
+# fused-lognorm pass structure; v2's 115 B/px modeled the f32-plane +
+# XLA-rfft2 program that no longer exists).  Assuming perfect fusion and
+# zero redundant materialization — each term is a distinct producer/
+# consumer that cannot share a pass without changing results:
+#   u8 HWC ingest read                                3
+#   planar u8 write (moveaxis copy)                   3
+#   palette histogram kernel: u8 read                 3
+#   palette pixel/sums kernel: u8 read                3
+#   stats/pgm pass: u8 read 3, pgm write 4            7
+#   stats variance pass (two-pass semantics): read    3
+#   sharpness masked-tile kernel: pgm read            4
+#   FFT: pgm read 4, transposed-input w+r 8,
+#        re/im strips w+r 2*(1024/1920)*8 ~ 8.5,
+#        |.|^2 write (1024/1920)*4 ~ 2.1             22.6
+#   normalize max pass: mag2 read ~2.1; fused-log
+#   polar kernel: mag2 read ~2.1                      4.2
+# total ~53 B/px.
+#
+# MXU, expressed as K-STREAM time (the honest unit for low-N-fill
+# one-hot GEMMs: a pass costs K cycles per 128x128 output tile no matter
+# how few of its columns are useful, so flop-counting overstates the
+# ceiling).  K-elements/px at the common q=8 tier:
+#   counts GEMM (int8, 2x rate)            0.5
+#   merged sums GEMM (bf16)                1.0
+#   candidate-LUT gather GEMM (K=112,
+#     8 N-tiles per 1024-px chunk)         0.875
+#   local polar (amortized over batch)     ~0
+# total ~2.375 K-elem/px against R_K = MACs/s / 128^2.  (The old flop
+# metric ~24.4k flop/px is kept for reference printing.)
+# VPU: hsv/cell/tie math + the FFT ladders, ~850 ops/px.
+PARITY_BYTES_PER_PX = 53.0
 PARITY_MXU_FLOPS_PER_PX = 24400.0
-PARITY_VPU_OPS_PER_PX = 500.0
+PARITY_MXU_KELEM_PER_PX = 2.375
+PARITY_VPU_OPS_PER_PX = 850.0
 
 
 def _mxu_flops_per_px(height: int, width: int) -> float:
@@ -124,9 +137,9 @@ def measure_device_rates() -> Dict[str, float]:
     try:
         with open(RATES_CACHE) as f:
             cache = json.load(f)
-        # v2 = round-trip-compensated measurement (see below); stale v1
-        # caches carried tunnel-polluted rates and are remeasured.
-        if cache.get("kind") == kind and cache.get("v") == 2:
+        # v3 = round-trip-compensated + plausibility-clamped (see
+        # below); stale v1/v2 caches carried tunnel-polluted rates.
+        if cache.get("kind") == kind and cache.get("v") == 3:
             return cache
     except (OSError, ValueError):
         pass
@@ -183,13 +196,23 @@ def measure_device_rates() -> Dict[str, float]:
     t = per_iter(jax.jit(lambda a: a @ a), a, iters=32)
     mxu = 2.0 * k ** 3 / t
 
-    rates = {"kind": kind, "hbm": hbm, "vpu": vpu, "mxu": mxu, "v": 2}
+    # Plausibility clamps (v3): during a tunnel sag the null-dispatch
+    # baseline can exceed the timed window, inflating a rate to nonsense
+    # (observed: "452 TOPS VPU" cached by a degraded run and then kept
+    # forever by the best-per-resource merge).  Physical guards: HBM/MXU
+    # can't beat datasheet by >20%, and elementwise VPU throughput can't
+    # approach the systolic array's MAC rate.
+    ds_hbm, ds_mxu, _ = _datasheet_rates(kind)
+    hbm = min(hbm, 1.2 * ds_hbm)
+    mxu = min(mxu, 1.2 * ds_mxu)
+    vpu = min(vpu, mxu / 4.0)
+    rates = {"kind": kind, "hbm": hbm, "vpu": vpu, "mxu": mxu, "v": 3}
     # Merge with any cached measurement, keeping the best per resource:
     # these are capability numbers and interference only lowers them.
     try:
         with open(RATES_CACHE) as f:
             prev = json.load(f)
-        if prev.get("kind") == kind:
+        if prev.get("kind") == kind and prev.get("v") == 3:
             for key in ("hbm", "vpu", "mxu"):
                 rates[key] = max(rates[key], prev.get(key, 0.0))
     except (OSError, ValueError):
@@ -228,10 +251,13 @@ def roofline_report(height: int, width: int,
     # the pass structure the bit-exact reference semantics force on this
     # design (perfect fusion assumed, zero redundant materialization) —
     # see PARITY_BYTES_PER_PX / PARITY_MXU_FLOPS_PER_PX derivations.
+    # MXU K-stream rate: MAC/s spread over the 128x128 array = K-elements
+    # per second a one-hot GEMM can stream regardless of N-fill.
+    r_k = (mxu / 2.0) / (128.0 * 128.0)
     tp_px = {
         "hbm": PARITY_BYTES_PER_PX / hbm,
         "vpu": PARITY_VPU_OPS_PER_PX / vpu,
-        "mxu": PARITY_MXU_FLOPS_PER_PX / mxu,
+        "mxu-kstream": PARITY_MXU_KELEM_PER_PX / r_k,
     }
     pbound = max(tp_px, key=tp_px.get)
     return {
