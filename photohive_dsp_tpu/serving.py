@@ -114,9 +114,10 @@ def export_report(height: int, width: int,
         @jax.jit
         def fn(u8, boxes, valid):
             from .ops.colorspace import u8_to_unit_f32
-            rgb = u8_to_unit_f32(jnp.moveaxis(u8, -1, 1))
+            u8p = jnp.moveaxis(u8, -1, 1)
+            rgb = u8_to_unit_f32(u8p)
             return full_report_batched(rgb, boxes, valid, tables, cfg,
-                                       use_pallas)
+                                       use_pallas, rgb_u8=u8p)
 
         if batch_size == "dynamic":
             b, = jax.export.symbolic_shape("b")
