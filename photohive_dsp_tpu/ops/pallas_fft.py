@@ -276,6 +276,18 @@ def scrambled_polar_tables(height: int, width: int, cfg):
     ids_strips = np.ascontiguousarray(
         ids_perm.reshape(height, s, _LANES).transpose(1, 0, 2)).reshape(-1)
     dict_ids, local_ids = polar_chunk_tables(ids_strips, num_bins)
+    # The local kernel's cost scales with K (the per-chunk dictionary
+    # width); polar_chunk_tables' ~64-bins-per-512-chunk premise assumes
+    # row-major locality, which the scramble perturbs.  Make a blowup at a
+    # new shape visible instead of a silent slowdown (ADVICE r4).
+    dict_nat, _ = polar_chunk_tables(ids_true.reshape(-1), num_bins)
+    k_scr, k_nat = dict_ids.shape[1], dict_nat.shape[1]
+    if k_scr > 2 * k_nat:
+        import warnings
+        warnings.warn(
+            f"scrambled polar dictionary K={k_scr} vs natural K={k_nat} "
+            f"at {height}x{width}: local polar kernel cost inflated "
+            f"{k_scr / k_nat:.1f}x by the scramble", stacklevel=2)
     return PolarTables(pad_index=None,
                        bin_counts=jnp.asarray(geom.bin_counts),
                        bin_ids=jnp.asarray(ids_strips),
@@ -479,7 +491,13 @@ def blur_bins_scrambled_lognorm(pgm_dc: jnp.ndarray, plan: FftPlan,
     b = pgm_dc.shape[0]
     mag2 = magnitude2_scrambled(pgm_dc, plan).reshape(b, -1)
     mx = jnp.max(mag2, axis=1)
-    g_s = 1.0 / (2.0 * jnp.log(jnp.sqrt(mx) + 1.0))
+    # Guard the zero-spectrum case (black/uniform frame after DC removal):
+    # mx == 0 makes the gain inf and inf * 0-sums = NaN, where the
+    # reference (src/fft_processing.c:192-199) and the unfused path both
+    # yield all-zero bins (every value <1 is gated to 0).  Any finite gain
+    # works since sums == 0 whenever mx < 1.
+    denom = 2.0 * jnp.log(jnp.sqrt(mx) + 1.0)
+    g_s = jnp.where(denom > 0.0, 1.0 / jnp.maximum(denom, 1e-30), 0.0)
     num_bins = num_angle_bins * num_radius_bins
     sums = polar_bin_sums_local(mag2, tables.local_ids, tables.dict_ids,
                                 num_bins, log_gate=True)

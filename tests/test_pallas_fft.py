@@ -144,3 +144,20 @@ def test_fused_lognorm_bins_match_unfused():
             use_pallas=True))
     assert snr_db(unfused, fused) > 80
     assert np.abs(fused - unfused).max() < 1e-5
+
+
+def test_fused_lognorm_black_frame_zero_bins():
+    """A zero spectrum (black/uniform frame after DC removal) must yield
+    all-zero bins, not NaN: mx==0 makes the naive gain 1/(2*log(1)) = inf
+    and inf * 0-sums = NaN.  Reference C (src/fft_processing.c:192-199)
+    and the unfused path both gate every value <1 to 0."""
+    height, width = 240, 384
+    cfg = ReportConfig()
+    x = jnp.zeros((2, height, width), jnp.float32)
+    plan = pallas_fft.FftPlan.for_shape(height, width)
+    ptab = pallas_fft.scrambled_polar_tables(height, width, cfg)
+    with pltpu.force_tpu_interpret_mode():
+        fused = np.asarray(pallas_fft.blur_bins_scrambled_lognorm(
+            x, plan, ptab, cfg.angle_partitions, cfg.radius_partitions))
+    assert np.isfinite(fused).all()
+    assert np.array_equal(fused, np.zeros_like(fused))

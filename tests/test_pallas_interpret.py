@@ -457,7 +457,11 @@ def test_pallas_sharpness_kernel_matches_batched(cfg):
                    * (boxes[..., 3] - boxes[..., 2]), 1)
     mean = np.asarray(s1) / n
     var = np.asarray(s2) / n - mean * mean
-    got = np.where(valid, var / mean, 0.0)
+    # invalid slots have mean == 0; the NaN/inf of var/mean there is
+    # intentionally pinned semantics (masked to 0 below) — silence the
+    # RuntimeWarning deliberately rather than letting it rot (VERDICT r4).
+    with np.errstate(divide="ignore", invalid="ignore"):
+        got = np.where(valid, var / mean, 0.0)
     ref = np.asarray(sh.variance_sharpness_batched(pgm, db, dv))
     rel = np.abs(got - ref)[:, :3] / np.abs(ref)[:, :3]
     assert rel.max() < 1e-5

@@ -26,9 +26,10 @@ if os.environ.get("JAX_PLATFORMS") == "cpu":
 def main():
     var = sys.argv[1]
     batch = 16
-    for a in sys.argv[1:]:
+    argv = sys.argv[1:]
+    for i, a in enumerate(argv):
         if a.startswith("--batch"):
-            batch = int(a.split("=")[1])
+            batch = int(a.split("=")[1]) if "=" in a else int(argv[i + 1])
     height, width = 1080, 1920
 
     from photohive_dsp_tpu import ReportConfig
@@ -51,38 +52,45 @@ def main():
     mp = batch * height * width / 1e6
 
     ref = {}
-    for setting in ("0", "1"):
-        os.environ[var] = setting
-        t0 = time.perf_counter()
-        fn = build_fn(cfg, height, width, True)
-        for name, frame in (("noise", noise), ("photo", photo)):
-            out = fn(frame, dboxes, dvalid)
-            np.asarray(out.blur_bins)
-            ts = []
-            for _ in range(8):
-                t1 = time.perf_counter()
-                o = fn(frame, dboxes, dvalid)
-                np.asarray(o.rgb_stats)
-                ts.append(time.perf_counter() - t1)
-            best = min(ts)
-            ids = np.asarray(out.palette_ids)
-            bins = np.asarray(out.blur_bins)
-            if (name, "ids") in ref:
-                same = (ref[(name, "ids")] == ids).all()
-                brel = np.abs(bins - ref[(name, "bins")]).max() \
-                    / max(np.abs(ref[(name, "bins")]).max(), 1e-9)
-                tag = ("MATCH" if same else "** IDS MISMATCH **") \
-                    + f" bins_rel={brel:.2e}" \
-                    + ("" if brel < 1e-4 else " ** BINS OFF **")
-            else:
-                ref[(name, "ids")] = ids
-                ref[(name, "bins")] = bins
-                tag = "(ref)"
-            print(f"{var}={setting} {name:<6} {best*1e3:7.1f} ms  "
-                  f"{mp/best:6.1f} MP/s  {tag}", flush=True)
-        print(f"  [{var}={setting} total {time.perf_counter()-t0:.1f}s]",
-              flush=True)
-    os.environ.pop(var, None)
+    prior = os.environ.get(var)
+    try:
+        for setting in ("0", "1"):
+            os.environ[var] = setting
+            t0 = time.perf_counter()
+            fn = build_fn(cfg, height, width, True)
+            for name, frame in (("noise", noise), ("photo", photo)):
+                out = fn(frame, dboxes, dvalid)
+                np.asarray(out.blur_bins)
+                ts = []
+                for _ in range(8):
+                    t1 = time.perf_counter()
+                    o = fn(frame, dboxes, dvalid)
+                    np.asarray(o.rgb_stats)
+                    ts.append(time.perf_counter() - t1)
+                best = min(ts)
+                ids = np.asarray(out.palette_ids)
+                bins = np.asarray(out.blur_bins)
+                if (name, "ids") in ref:
+                    same = (ref[(name, "ids")] == ids).all()
+                    brel = np.abs(bins - ref[(name, "bins")]).max() \
+                        / max(np.abs(ref[(name, "bins")]).max(), 1e-9)
+                    tag = ("MATCH" if same else "** IDS MISMATCH **") \
+                        + f" bins_rel={brel:.2e}" \
+                        + ("" if brel < 1e-4 else " ** BINS OFF **")
+                else:
+                    ref[(name, "ids")] = ids
+                    ref[(name, "bins")] = bins
+                    tag = "(ref)"
+                print(f"{var}={setting} {name:<6} {best*1e3:7.1f} ms  "
+                      f"{mp/best:6.1f} MP/s  {tag}", flush=True)
+            print(f"  [{var}={setting} total {time.perf_counter()-t0:.1f}s]",
+                  flush=True)
+    finally:
+        # restore the caller's pre-run setting rather than clobbering it
+        if prior is None:
+            os.environ.pop(var, None)
+        else:
+            os.environ[var] = prior
 
 
 if __name__ == "__main__":
