@@ -319,9 +319,22 @@ def measure(deadline: float) -> dict:
             # have — the marginal rate when measured, else the headline.
             par = roof.get("roofline_parity_mps")
             if par:
+                # The frac's numerator is the least-dispatch-polluted
+                # throughput available; NAME it in the same line so 0.42
+                # can't be misread as the headline's fraction (VERDICT r4).
+                num_name = ("marginal_mps" if "marginal_mps" in result
+                            else "value")
                 num = result.get("marginal_mps", mps)
                 result["roofline_parity_mps"] = round(par, 1)
                 result["roofline_parity_frac"] = round(num / par, 4)
+                result["roofline_parity_frac_of"] = num_name
+                # Implementation-independent pinned anchor (v1 = 3830
+                # MP/s, tools/roofline.py PINNED_CEILING_MPS): the
+                # reported target fraction, immune to ceiling drift.
+                pin = roof.get("pinned_ceiling_mps")
+                if pin:
+                    result["frac_vs_pinned"] = round(num / pin, 4)
+                    result["pinned_ceiling_mps"] = pin
             print("roofline:", json.dumps(roof), file=sys.stderr)
         except Exception as exc:  # noqa: BLE001 — never lose the number
             print(f"roofline skipped: {type(exc).__name__}: {exc}",
@@ -357,9 +370,26 @@ def measure(deadline: float) -> dict:
                   file=sys.stderr)
         try:
             result.update(_measure_mixed_res(platform))
+            # Attribute the end-to-end figure's tunnel share: uploads are
+            # 3 B/px, so time-in-link / wall = 3 * mps / link_MBps.
+            if "host_link_mbs" in result and "mixed_res_mps" in result:
+                result["mixed_res_tunnel_frac"] = round(min(
+                    3.0 * result["mixed_res_mps"]
+                    / max(result["host_link_mbs"], 1e-9), 1.0), 3)
         except Exception as exc:  # noqa: BLE001 — never lose the number
             print(f"mixed-res bench skipped: {type(exc).__name__}: {exc}",
                   file=sys.stderr)
+        _cache_result(result)
+
+    # Config #3 as a CHIP number (VERDICT r4): device-resident mixed-res
+    # buckets, marginal-style batch slope per bucket — no host link, no
+    # decode, no dispatch floor in the metric.
+    if platform != "cpu" and deadline - time.perf_counter() > addon_margin:
+        try:
+            result.update(_measure_mixed_res_device(cfg, use_pallas))
+        except Exception as exc:  # noqa: BLE001 — never lose the number
+            print(f"mixed-res device bench skipped: "
+                  f"{type(exc).__name__}: {exc}", file=sys.stderr)
         _cache_result(result)
     return result
 
@@ -406,6 +436,65 @@ def _measure_mixed_res(platform: str) -> dict:
     print(f"mixed-res: {n} images, {total_mp:.0f} MP in {dt:.1f}s = "
           f"{mps:.2f} MP/s", file=sys.stderr)
     return {"mixed_res_mps": round(mps, 3), "mixed_res_images": n}
+
+
+def _measure_mixed_res_device(cfg, use_pallas: bool) -> dict:
+    """Config #3 as a chip-compute number: per-bucket batch-slope
+    (marginal) rates on device-resident frames, aggregated as the
+    harmonic (time-weighted) throughput of an equal-image-count mixed
+    corpus.  The end-to-end mixed_res_mps includes host decode + the
+    tunnel; this is what the chip itself sustains per bucket."""
+    import jax
+
+    shapes = [(720, 1280), (1080, 1920), (480, 640)]
+    rng = np.random.default_rng(5)
+    boxes = np.zeros((16, 10, 4), np.int32)
+    boxes[:, 0] = (50, 300, 60, 400)
+    valid = np.zeros((16, 10), bool)
+    valid[:, 0] = True
+    dboxes, dvalid = jax.device_put(boxes), jax.device_put(valid)
+
+    def best_of(f, fr, bx, vl, n=6):
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            o = f(fr, bx, vl)
+            np.asarray(o.rgb_stats)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    per_bucket = {}
+    t_mixed_per_img = 0.0
+    mp_per_img = 0.0
+    for h, w in shapes:
+        full, half = 16, 8
+        fn = build_fn(cfg, h, w, use_pallas)
+        frame = jax.device_put(rng.integers(0, 256, (full, h, w, 3),
+                                            dtype=np.uint8))
+        out = fn(frame, dboxes, dvalid)
+        np.asarray(out.blur_bins)  # compile+warm
+        fnh = build_fn(cfg, h, w, use_pallas)
+        outh = fnh(frame[:half], dboxes[:half], dvalid[:half])
+        np.asarray(outh.blur_bins)
+        t_full = best_of(fn, frame, dboxes, dvalid)
+        t_half = best_of(fnh, frame[:half], dboxes[:half], dvalid[:half])
+        if t_full <= t_half:
+            print(f"mixed-res device {h}x{w}: slope not resolvable "
+                  f"(t_full {t_full*1e3:.1f} <= t_half {t_half*1e3:.1f} ms)",
+                  file=sys.stderr)
+            continue
+        mp = (full - half) * h * w / 1e6
+        rate = mp / (t_full - t_half)
+        per_bucket[f"{h}x{w}"] = round(rate, 1)
+        t_mixed_per_img += (t_full - t_half) / (full - half)
+        mp_per_img += h * w / 1e6
+    if not per_bucket:
+        return {}
+    agg = mp_per_img / t_mixed_per_img
+    print(f"mixed-res device marginal: {per_bucket} -> {agg:.1f} MP/s "
+          "aggregate", file=sys.stderr)
+    return {"mixed_res_device_mps": round(agg, 1),
+            "mixed_res_device_buckets": per_bucket}
 
 
 def _measure_blur_4k(use_pallas: bool, platform: str) -> dict:
@@ -455,7 +544,8 @@ def _cache_result(result: dict) -> None:
     """Write the degraded-path fallback number.  Only chip results: a CPU
     measurement cached here would later masquerade as "last good"."""
     if os.environ.get("PHOTOHIVE_BENCH_NO_CACHE") \
-            or result.get("platform") == "cpu":
+            or result.get("platform") == "cpu" \
+            or result.get("degraded"):
         return
     try:
         with open(LAST_GOOD, "w") as f:

@@ -119,6 +119,20 @@ def main():
     from photohive_dsp_tpu.config import ReportConfig
     from photohive_dsp_tpu.models.pipeline import ReportTables
 
+    # Internal budget (seconds): stop cleanly between measurements rather
+    # than letting an external timeout kill the table mid-row (round-4's
+    # ablate step truncated at rc=124, leaving a partly-noise table).
+    budget = float(os.environ.get("PHOTOHIVE_ABLATE_BUDGET_S", "1e9"))
+    t_start = time.perf_counter()
+
+    def over_budget(section: str) -> bool:
+        if time.perf_counter() - t_start > budget:
+            print(f"  [budget {budget:.0f}s exhausted; skipping {section} "
+                  "— rerun with PHOTOHIVE_ABLATE_STAGES to finish]",
+                  flush=True)
+            return True
+        return False
+
     height, width, batch = 1080, 1920, 16
     if len(sys.argv) >= 4:
         height, width, batch = map(int, sys.argv[1:4])
@@ -160,10 +174,12 @@ def main():
     if os.environ.get("PHOTOHIVE_ABLATE_STAGES"):
         stages = tuple(os.environ["PHOTOHIVE_ABLATE_STAGES"].split(","))
     for stage in stages:
+        if over_budget(f"-{stage} and later sections"):
+            return
         t = measure((stage,))
         print(f"  -{stage:<10} {t*1000:7.1f} ms   delta {1000*(base-t):+7.1f} ms")
 
-    if use_pallas:
+    if use_pallas and not over_budget("kernel A/B"):
         # Palette-kernel A/B: same fused program under each variant (the
         # env switch is read at trace time in palette_sums_by_k_auto).
         from photohive_dsp_tpu.ops.quantize import palette_kernel_variant
@@ -172,6 +188,8 @@ def main():
         orig = os.environ.get("PHOTOHIVE_PALETTE_KERNEL")
         try:
             for variant in ("candidate", "bf16", "cwide"):
+                if over_budget(f"kernel A/B '{variant}'"):
+                    break
                 os.environ["PHOTOHIVE_PALETTE_KERNEL"] = variant
                 t = measure(())
                 print(f"  {variant:<10} {t*1000:7.1f} ms  ({mp/t:.1f} MP/s)")
@@ -181,7 +199,8 @@ def main():
             else:
                 os.environ["PHOTOHIVE_PALETTE_KERNEL"] = orig
 
-    polar_route_ab(height, width, batch, cfg)
+    if not over_budget("polar route A/B"):
+        polar_route_ab(height, width, batch, cfg)
 
 
 def polar_route_ab(height, width, batch, cfg):

@@ -9,46 +9,67 @@
 #   2. bench.py                   — the driver-contract perf number,
 #      gated by tools/perf_floor_gate.py against the last committed chip
 #      number x0.8 (a Mosaic scheduling regression passes every CPU test;
-#      only this floor catches it) — the session exits nonzero on FAIL
-#   3. tools/ablate_stages.py     — stage deltas + palette-kernel A/B
+#      only this floor catches it); the gate HARD-FAILS on degraded/CPU
+#      lines, and its --selftest proves it trips on an injected regression
+#   3. tools/ablate_stages.py     — stage deltas + palette-kernel A/B,
+#      internally budgeted so it finishes its table inside the timeout
+#   4. tools/tpu_serving_check.py — serving artifacts on-chip
+#
+# Exit status: nonzero if ANY step failed (VERDICT r4: a session whose
+# steps silently degrade is not a gate).  Pipe exit codes are taken from
+# the command, not tee (pipefail).
 #
 # Usage: bash tools/on_chip_session.sh
-set -u
+set -u -o pipefail
 cd "$(dirname "$0")/.."
 LOG=tools/on_chip_session.log
-GATE_RC_FILE=$(mktemp)
-echo 0 > "$GATE_RC_FILE"
+FAILED_FILE=$(mktemp)
+: > "$FAILED_FILE"
+
 {
   echo "=== on-chip session $(date -u +%FT%TZ) ==="
+
+  record_rc() {  # record_rc <name> <rc>
+    echo "$1 rc=$2"
+    if [ "$2" -ne 0 ]; then echo "$1=$2" >> "$FAILED_FILE"; fi
+  }
 
   echo "--- probe ---"
   timeout 120 python -c "
 import jax; x = jax.numpy.ones((256,256))
 print('probe ok:', (x@x).sum(), jax.default_backend(), jax.devices()[0].device_kind)" \
-    || { echo "PROBE FAILED - chip not reachable"; exit 1; }
+    || { echo "PROBE FAILED - chip not reachable"; echo probe=1 >> "$FAILED_FILE"; exit 1; }
 
-  echo "--- 1/4 parity ---"
+  echo "--- 1/5 parity ---"
   timeout 1200 python tools/tpu_parity_check.py
-  echo "parity rc=$?"
+  record_rc parity $?
 
-  echo "--- 2/4 bench ---"
+  echo "--- 2/5 bench ---"
   BENCH_OUT=$(mktemp)
   timeout 900 python bench.py | tee "$BENCH_OUT"
-  echo "bench rc=$?"
-  echo "--- perf floor gate ---"
+  record_rc bench $?
+  echo "--- perf floor gate (selftest, then fresh line) ---"
+  timeout 60 python tools/perf_floor_gate.py --selftest
+  record_rc gate_selftest $?
   timeout 60 python tools/perf_floor_gate.py "$BENCH_OUT"
-  GATE_RC=$?
-  echo "floor gate rc=$GATE_RC"
-  echo "$GATE_RC" > "$GATE_RC_FILE"
+  record_rc floor_gate $?
 
-  echo "--- 3/4 ablation + kernel A/B ---"
-  timeout 1200 python tools/ablate_stages.py 1080 1920 16
-  echo "ablate rc=$?"
+  echo "--- 3/5 ablation + kernel A/B ---"
+  PHOTOHIVE_ABLATE_BUDGET_S=1050 timeout 1200 python tools/ablate_stages.py 1080 1920 16
+  record_rc ablate $?
 
-  echo "--- 4/4 serving artifact on-chip ---"
+  echo "--- 4/5 serving artifact on-chip ---"
   timeout 600 python tools/tpu_serving_check.py
-  echo "serving rc=$?"
+  record_rc serving $?
 
+  echo "--- 5/5 session verdict ---"
+  if [ -s "$FAILED_FILE" ]; then
+    echo "SESSION FAILED steps: $(tr '\n' ' ' < "$FAILED_FILE")"
+  else
+    echo "SESSION OK: all steps rc=0"
+  fi
   echo "=== session done $(date -u +%FT%TZ) ==="
 } 2>&1 | tee -a "$LOG"
-exit "$(cat "$GATE_RC_FILE")"
+
+if [ -s "$FAILED_FILE" ]; then exit 1; fi
+exit 0

@@ -1,17 +1,25 @@
 """On-chip perf floor: fail when a fresh TPU bench number regresses.
 
 Usage: python tools/perf_floor_gate.py <file-with-bench-json-line>
+       python tools/perf_floor_gate.py --selftest
 
 Reads the LAST JSON line of the given file (bench.py's stdout) and
 compares its value against the last committed chip number
 (BENCH_LAST_GOOD.json) x FLOOR_FRAC (default 0.8).  Exit codes:
 
-  0  pass (>= floor), or no basis to gate (first-ever chip number,
-     degraded/CPU measurement — those are bench.py's own failure modes,
-     not kernel regressions)
+  0  pass (>= floor), or first-ever chip number (nothing to gate against)
   1  FAIL: a real chip measurement fell below the floor — a Mosaic/XLA
      scheduling regression CI cannot see (CPU tests and interpret mode
      share none of the chip's lowering); bisect before committing.
+  2  FAIL: the input is not a gateable fresh chip measurement (missing/
+     unparseable line, degraded, or CPU fallback).  A gate that no-ops
+     on stale input is not a gate (VERDICT r4): when the chip session's
+     bench step could not produce a fresh chip line, the session FAILS
+     and must be re-run — it must not silently bless old numbers.
+
+``--selftest`` proves the gate trips: it synthesizes a regressed line
+against the committed BENCH_LAST_GOOD and asserts rc=1, a passing line
+asserts rc=0, and a degraded line asserts rc=2.
 
 The reference's analogous gate is its <0.5 s full-report latency assert
 (src/test/test.c:152); ours is relative to the last committed chip
@@ -23,25 +31,26 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 
 FLOOR_FRAC = float(os.environ.get("PHOTOHIVE_PERF_FLOOR_FRAC", "0.8"))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def main() -> int:
-    if len(sys.argv) != 2:
-        print("usage: perf_floor_gate.py <bench-output-file>")
-        return 0
+def gate(path: str) -> int:
     try:
-        with open(sys.argv[1]) as f:
+        with open(path) as f:
             lines = [ln for ln in f if ln.lstrip().startswith("{")]
         fresh = json.loads(lines[-1])
     except (OSError, ValueError, IndexError) as exc:
-        print(f"floor gate: no parseable bench line ({exc}); not gating")
-        return 0
+        print(f"floor gate FAIL: no parseable bench line ({exc})")
+        return 2
     if fresh.get("degraded") or fresh.get("platform") in (None, "cpu"):
-        print("floor gate: not a fresh chip measurement; not gating")
-        return 0
+        print("floor gate FAIL: not a fresh chip measurement "
+              f"(degraded={fresh.get('degraded')!r}, "
+              f"platform={fresh.get('platform')!r}) — stale input does "
+              "not pass the gate")
+        return 2
     try:
         with open(os.path.join(REPO, "BENCH_LAST_GOOD.json")) as f:
             cached = json.load(f)
@@ -51,14 +60,61 @@ def main() -> int:
         return 0
     if cached.get("metric") != fresh.get("metric") \
             or cached.get("batch") != fresh.get("batch"):
-        print("floor gate: cached number is a different config; not gating")
-        return 0
+        print("floor gate FAIL: cached number is a different config "
+              f"(metric/batch {cached.get('metric')}/{cached.get('batch')} "
+              f"vs {fresh.get('metric')}/{fresh.get('batch')}) — cannot "
+              "certify; re-baseline BENCH_LAST_GOOD deliberately")
+        return 2
     floor = cached["value"] * FLOOR_FRAC
     verdict = "PASS" if fresh["value"] >= floor else "FAIL"
     print(f"floor gate {verdict}: fresh {fresh['value']:.2f} "
           f"vs floor {floor:.2f} ({FLOOR_FRAC:.0%} of committed "
           f"{cached['value']:.2f} {cached.get('unit', '')})")
     return 0 if verdict == "PASS" else 1
+
+
+def selftest() -> int:
+    """Prove the gate trips on an injected regression (VERDICT r4)."""
+    try:
+        with open(os.path.join(REPO, "BENCH_LAST_GOOD.json")) as f:
+            cached = json.load(f)
+    except (OSError, ValueError):
+        print("selftest: no BENCH_LAST_GOOD.json; synthesizing is "
+              "meaningless without a committed floor — SKIP (rc 0)")
+        return 0
+
+    def run_case(mutate, want_rc, label):
+        fake = dict(cached)
+        fake.pop("degraded", None)
+        mutate(fake)
+        with tempfile.NamedTemporaryFile("w", suffix=".json",
+                                         delete=False) as f:
+            f.write(json.dumps(fake) + "\n")
+            path = f.name
+        rc = gate(path)
+        os.unlink(path)
+        ok = rc == want_rc
+        print(f"selftest {label}: rc={rc} want={want_rc} "
+              f"{'ok' if ok else '** FAILED **'}")
+        return ok
+
+    ok = True
+    ok &= run_case(lambda d: d.update(value=cached["value"] * 0.5),
+                   1, "injected regression trips")
+    ok &= run_case(lambda d: None, 0, "committed value passes")
+    ok &= run_case(lambda d: d.update(degraded="synthetic"),
+                   2, "degraded line fails")
+    print("selftest", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+def main() -> int:
+    if len(sys.argv) == 2 and sys.argv[1] == "--selftest":
+        return selftest()
+    if len(sys.argv) != 2:
+        print("usage: perf_floor_gate.py <bench-output-file>|--selftest")
+        return 2
+    return gate(sys.argv[1])
 
 
 if __name__ == "__main__":
