@@ -2,7 +2,41 @@
 
 from __future__ import annotations
 
+import os
+import subprocess
+import sys
+
 import numpy as np
+
+
+def run_isolated(code: str, artifact: str, timeout: float = 420,
+                 retries: int = 3):
+    """Run ``code`` in a CPU subprocess; success = ``artifact`` written
+    and loadable (np.load).  Retries on failure.
+
+    This is the deflake for interpret-mode shard_map on XLA:CPU: a run
+    can SIGSEGV at interpreter exit or trip the 40 s collective
+    rendezvous abort, but the computed results are correct whenever the
+    artifact gets written (reproduced across revisions; see
+    test_sharding.py) — so the child saves results to disk and the
+    parent accepts the artifact even if the child then dies, retrying
+    only when no artifact appeared."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    last = None
+    for _ in range(retries):
+        if os.path.exists(artifact):
+            os.unlink(artifact)
+        last = subprocess.run([sys.executable, "-c", code], env=env,
+                              capture_output=True, text=True,
+                              timeout=timeout)
+        if os.path.exists(artifact):
+            try:
+                return np.load(artifact)
+            except Exception:  # noqa: BLE001 — torn write; retry
+                continue
+    raise AssertionError(
+        f"isolated child failed {retries}x rc={last.returncode}:\n"
+        f"{last.stderr[-2000:]}")
 
 
 def snr_db(golden, ours) -> float:
