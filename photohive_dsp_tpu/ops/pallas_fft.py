@@ -74,21 +74,47 @@ def _bitrev(i: int, bits: int) -> int:
     return out
 
 
+_RADIX_PRIMES = (2, 3, 5, 7, 11, 13)
+
+
 def _factor_235(n: int):
-    """Ascending {2,3,5} factor list, or None if other primes remain."""
+    """Ascending small-prime factor list, or None if other primes remain.
+
+    Historically {2,3,5}; extended to 7/11/13 (round 5) — _fft_rec's
+    recursive combine is radix-generic (a direct r-point DFT at each
+    level), so any small prime works; larger primes only cost r^2 cmuls
+    per group, which stays cheap for r <= 13."""
     fs = []
-    for p in (2, 3, 5):
+    for p in _RADIX_PRIMES:
         while n % p == 0:
             fs.append(p)
             n //= p
     return fs if n == 1 else None
 
 
+# Row-group cap: above _Q_DIRECT_MAX groups the pruned direct DFT's
+# S x Q unrolled combine (and its VMEM accumulators) outgrows the
+# compile/VMEM budget, so Q must be smooth and the kernel runs a full
+# group FFT (_fft_rec) instead, keeping the first S outputs.  The upper
+# cap bounds the (1, Q, 8, 128) input block + (Q, 2, 8, 128) twiddle
+# table in VMEM (~12 KB/group).  8K (Q=60, M=540) is in range.
+_Q_DIRECT_MAX = 32
+_Q_MAX = 64
+
+# Heights above this use the factored column-twiddle tables (see
+# FftPlan.twcol).  2560 keeps every silicon-validated shape (<=4K) on
+# the direct table; only 8K-class strips pay the extra per-tile complex
+# multiply.  Tests lower it to cover the factored path at small shapes.
+_COL_FACTOR_H = 2560
+
+
 def eligible(height: int, width: int) -> bool:
     if width % _LANES or height % _SUB:
         return False
     q = width // _LANES
-    if not (1 <= q <= 32):
+    if not (1 <= q <= _Q_MAX):
+        return False
+    if q > _Q_DIRECT_MAX and _factor_235(q) is None:
         return False
     m = height // _SUB
     return _factor_235(m) is not None
@@ -188,9 +214,16 @@ class FftPlan(NamedTuple):
     # host numpy (see for_shape) and become per-trace constants.
     twl: np.ndarray       # (7, 2, 8, 128) f32 lane-ladder twiddles (re, im)
     twrow: np.ndarray     # (Q, 2, 8, 128) f32 W_W^{q*bitrev(lane)}
-    twcol: np.ndarray     # (2, H, 128) f32 W_H^{e*u} at rows 8u+e
+    twcol: np.ndarray     # (2, H, 128) f32 W_H^{e*u} at rows 8u+e; for
+    #                       large H (col_factored) instead (2, Hc, 128)
+    #                       holding W_M^{e*u1} at rows 8*u1+e — the
+    #                       direct (2, H, 128) table is 4 MB+ at 8K and
+    #                       alone blew the col kernel's VMEM budget
     tws: np.ndarray       # (2, 3, 8, 128) f32 sublane-ladder twiddles
     dftq: tuple           # ((S, Q) re, (S, Q) im) python-float tuples
+    # W_H^{e*u0} factor table (2, 64, 128) when col_factored, else None
+    twcol_b: np.ndarray = None
+    col_factored: bool = False
 
     @classmethod
     @functools.lru_cache(maxsize=8)
@@ -205,14 +238,34 @@ class FftPlan(NamedTuple):
         tw8 = _dif_ladder_twiddles(_SUB)
         _check_ladder(_SUB, tw8)
         _check_fft_rec(m)
+        if q > _Q_DIRECT_MAX:
+            _check_fft_rec(q)  # the group FFT replaces the direct DFT
 
         brl = np.array([_bitrev(i, 7) for i in range(_LANES)])
         twrow = np.exp(-2j * np.pi
                        * np.outer(np.arange(q), brl) / width)
-        uu = np.repeat(np.arange(m), _SUB)          # u at row 8u+e
-        ee = np.tile(np.arange(_SUB), m)            # e at row 8u+e
-        twcol = np.exp(-2j * np.pi * (ee * uu) / height)[:, None]
-        twcol = np.broadcast_to(twcol, (height, _LANES))
+        # Column twiddle W_H^{e*u}: direct (H, 128) table for normal
+        # heights; factored W_M^{e*u1} * W_H^{e*u0} (u = 8*u1 + u0) for
+        # tall strips — the direct table is 8*H KB and alone blew the 8K
+        # col kernel's 16 MB scoped-VMEM budget (the factor tables total
+        # ~0.6 MB; one extra complex multiply per tile).
+        col_factored = height > _COL_FACTOR_H
+        if col_factored:
+            m1 = -(-m // _SUB)                      # u1 range
+            uu1 = np.repeat(np.arange(m1), _SUB)    # u1 at row 8*u1+e
+            ee1 = np.tile(np.arange(_SUB), m1)
+            twcol = np.exp(-2j * np.pi * (ee1 * uu1) / m)[:, None]
+            twcol = np.broadcast_to(twcol, (m1 * _SUB, _LANES))
+            uu0 = np.repeat(np.arange(_SUB), _SUB)  # u0 at row 8*u0+e
+            ee0 = np.tile(np.arange(_SUB), _SUB)
+            twcol_b = np.exp(-2j * np.pi * (ee0 * uu0) / height)[:, None]
+            twcol_b = np.broadcast_to(twcol_b, (_SUB * _SUB, _LANES))
+        else:
+            uu = np.repeat(np.arange(m), _SUB)      # u at row 8u+e
+            ee = np.tile(np.arange(_SUB), m)        # e at row 8u+e
+            twcol = np.exp(-2j * np.pi * (ee * uu) / height)[:, None]
+            twcol = np.broadcast_to(twcol, (height, _LANES))
+            twcol_b = None
         tws = np.broadcast_to(tw8[:, :, None], (3, _SUB, _LANES))
 
         dft = np.exp(-2j * np.pi
@@ -236,7 +289,9 @@ class FftPlan(NamedTuple):
 
         return cls(height=height, width=width, q=q, s=s, m=m,
                    twl=ri(twl), twrow=ri(twrow), twcol=ri2(twcol),
-                   tws=ri2(tws), dftq=dftq)
+                   tws=ri2(tws), dftq=dftq,
+                   twcol_b=None if twcol_b is None else ri2(twcol_b),
+                   col_factored=col_factored)
 
 
 def scramble_maps(height: int, width: int):
@@ -341,10 +396,41 @@ def _sublane_ladder(re, im, tws):
     return re, im
 
 
+def _cmul_const(a, c):
+    """(re, im) vreg pair times a Python complex constant, with exact
+    shortcuts for the trivial twiddles (1, -1, +-i, pure re/im)."""
+    ar, ai = a
+    cr = float(c.real)
+    ci = float(c.imag)
+    if abs(cr - 1.0) < 1e-12 and abs(ci) < 1e-12:
+        return ar, ai
+    if abs(cr + 1.0) < 1e-12 and abs(ci) < 1e-12:
+        return -ar, -ai
+    if abs(cr) < 1e-12 and abs(ci + 1.0) < 1e-12:
+        return ai, -ar
+    if abs(cr) < 1e-12 and abs(ci - 1.0) < 1e-12:
+        return -ai, ar
+    if abs(ci) < 1e-12:
+        return ar * cr, ai * cr
+    if abs(cr) < 1e-12:
+        return -ai * ci, ar * ci
+    return ar * cr - ai * ci, ar * ci + ai * cr
+
+
+def _cadd(a, b):
+    return a[0] + b[0], a[1] + b[1]
+
+
 def _row_fft_kernel(x_ref, twl_ref, twrow_ref, ore_ref, oim_ref, *,
                     q: int, s: int, dftq):
-    """(Q, 8, 128) real rows -> (S, 8, 128) re/im kept half-spectrum."""
-    dre, dim = dftq
+    """(Q, 8, 128) real rows -> (S, 8, 128) re/im kept half-spectrum.
+
+    The group combine X[128t+r] = sum_q W_Q^{qt} ys_q[r] is a length-Q
+    DFT over groups evaluated at t = 0..S-1.  For q <= _Q_DIRECT_MAX it
+    runs as the pruned direct S x Q unroll (dftq coefficients); above
+    that (8K: Q=60) the unroll outgrows compile/VMEM budgets, so a full
+    mixed-radix group FFT (_fft_rec, natural order in and out) computes
+    all Q outputs and the first S are kept — bit-identical layout."""
     ys = []
     for g in range(q):
         re = x_ref[0, g]                              # (8, 128)
@@ -353,6 +439,13 @@ def _row_fft_kernel(x_ref, twl_ref, twrow_ref, ore_ref, oim_ref, *,
         tr = twrow_ref[g, 0]                          # (8, 128)
         ti = twrow_ref[g, 1]
         ys.append((re * tr - im * ti, re * ti + im * tr))
+    if q > _Q_DIRECT_MAX:
+        out = _fft_rec(ys, _cmul_const, _cadd)
+        for t in range(s):
+            ore_ref[0, t] = out[t][0]
+            oim_ref[0, t] = out[t][1]
+        return
+    dre, dim = dftq
     for t in range(s):
         are = None
         aim = None
@@ -372,44 +465,41 @@ def _row_fft_kernel(x_ref, twl_ref, twrow_ref, ore_ref, oim_ref, *,
 
 
 def _col_fft_kernel(re_ref, im_ref, twcol_ref, tws_ref, mag_ref, *,
-                    m: int):
+                    m: int, factored: bool, twb_ref=None):
     """(H, 128) re/im strip -> (H, 128) |X|^2, rows scrambled as
-    documented in the module docstring."""
+    documented in the module docstring.  ``factored``: the W_H^{e*u}
+    twiddle is the product of the W_M^{e*u1} (twcol) and W_H^{e*u0}
+    (twb) factor pages, u = 8*u1 + u0 — VMEM-cheap for tall strips."""
     tws = tws_ref[...]
     tiles = [(re_ref[0, 0, 8 * u:8 * u + 8], im_ref[0, 0, 8 * u:8 * u + 8])
              for u in range(m)]
-
-    def cmul(a, c):
-        ar, ai = a
-        cr = float(c.real)
-        ci = float(c.imag)
-        if abs(cr - 1.0) < 1e-12 and abs(ci) < 1e-12:
-            return ar, ai
-        if abs(cr + 1.0) < 1e-12 and abs(ci) < 1e-12:
-            return -ar, -ai
-        if abs(cr) < 1e-12 and abs(ci + 1.0) < 1e-12:
-            return ai, -ar
-        if abs(cr) < 1e-12 and abs(ci - 1.0) < 1e-12:
-            return -ai, ar
-        if abs(ci) < 1e-12:
-            return ar * cr, ai * cr
-        if abs(cr) < 1e-12:
-            return -ai * ci, ar * ci
-        return ar * cr - ai * ci, ar * ci + ai * cr
-
-    def cadd(a, b):
-        return a[0] + b[0], a[1] + b[1]
-
-    tiles = _fft_rec(tiles, cmul, cadd)
+    tiles = _fft_rec(tiles, _cmul_const, _cadd)
 
     for u in range(m):
-        tr = twcol_ref[0, 8 * u:8 * u + 8]
-        ti = twcol_ref[1, 8 * u:8 * u + 8]
+        if factored:
+            u1, u0 = u // _SUB, u % _SUB
+            ar = twcol_ref[0, 8 * u1:8 * u1 + 8]
+            ai = twcol_ref[1, 8 * u1:8 * u1 + 8]
+            br = twb_ref[0, 8 * u0:8 * u0 + 8]
+            bi = twb_ref[1, 8 * u0:8 * u0 + 8]
+            tr = ar * br - ai * bi
+            ti = ar * bi + ai * br
+        else:
+            tr = twcol_ref[0, 8 * u:8 * u + 8]
+            ti = twcol_ref[1, 8 * u:8 * u + 8]
         gr, gi = tiles[u]
         re = gr * tr - gi * ti
         im = gr * ti + gi * tr
         re, im = _sublane_ladder(re, im, tws)
         mag_ref[0, 0, 8 * u:8 * u + 8] = re * re + im * im
+
+
+def _col_fft_kernel_factored(re_ref, im_ref, twcol_ref, twb_ref, tws_ref,
+                             mag_ref, *, m: int):
+    """Positional-ref wrapper: pallas passes refs positionally, so the
+    factored variant needs its own input arity."""
+    _col_fft_kernel(re_ref, im_ref, twcol_ref, tws_ref, mag_ref, m=m,
+                    factored=True, twb_ref=twb_ref)
 
 
 def magnitude2_scrambled(pgm: jnp.ndarray, plan: FftPlan) -> jnp.ndarray:
@@ -441,16 +531,39 @@ def magnitude2_scrambled(pgm: jnp.ndarray, plan: FftPlan) -> jnp.ndarray:
                    jax.ShapeDtypeStruct((b, s, h, _LANES), jnp.float32)),
     )(xt, jnp.asarray(plan.twl), jnp.asarray(plan.twrow))
 
+    if plan.col_factored:
+        kern = functools.partial(_col_fft_kernel_factored, m=m)
+        hc = plan.twcol.shape[1]
+        tw_specs = [
+            pl.BlockSpec((2, hc, _LANES), lambda bb, ss: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, _SUB * _SUB, _LANES),
+                         lambda bb, ss: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        tw_args = (jnp.asarray(plan.twcol), jnp.asarray(plan.twcol_b))
+    else:
+        kern = functools.partial(_col_fft_kernel, m=m, factored=False)
+        tw_specs = [
+            pl.BlockSpec((2, h, _LANES), lambda bb, ss: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        tw_args = (jnp.asarray(plan.twcol),)
+    # Tall strips (8K: three double-buffered (4320, 128) f32 blocks plus
+    # the tile-FFT's live temporaries) overflow Mosaic's default 16 MB
+    # scoped-VMEM budget; raise it explicitly — v5e-class cores have
+    # headroom above the conservative default.
+    params = (pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+              if plan.col_factored else None)
     mag = pl.pallas_call(
-        functools.partial(_col_fft_kernel, m=m),
+        kern,
         grid=(b, s),
         in_specs=[
             pl.BlockSpec((1, 1, h, _LANES), lambda bb, ss: (bb, ss, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, h, _LANES), lambda bb, ss: (bb, ss, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, h, _LANES), lambda bb, ss: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            *tw_specs,
             pl.BlockSpec((2, 3, _SUB, _LANES), lambda bb, ss: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -458,7 +571,8 @@ def magnitude2_scrambled(pgm: jnp.ndarray, plan: FftPlan) -> jnp.ndarray:
                                lambda bb, ss: (bb, ss, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, s, h, _LANES), jnp.float32),
-    )(rre, rim, jnp.asarray(plan.twcol), jnp.asarray(plan.tws))
+        compiler_params=params,
+    )(rre, rim, *tw_args, jnp.asarray(plan.tws))
     return mag
 
 

@@ -33,12 +33,40 @@ def _unscramble(mag, height, width):
     return out
 
 
-@pytest.mark.parametrize("height,width", [(240, 384), (96, 256)])
+@pytest.mark.parametrize("height,width", [
+    (240, 384), (96, 256),
+    # widened eligibility (round 5): Q=36 > _Q_DIRECT_MAX exercises the
+    # group-FFT row combine (the 8K enabler; 8K itself is chip-gated in
+    # tools/tpu_parity_check); M=7 and M=13 exercise the new prime
+    # radices (M=91=7*13 verified once by hand: 134.3 dB, but costs
+    # ~3 min of interpret time — too slow for default CI)
+    (40, 4608), (56, 384), (104, 256),
+])
 def test_magnitude2_scrambled_matches_numpy(height, width):
     assert pallas_fft.eligible(height, width)
     rng = np.random.default_rng(11)
     x = rng.standard_normal((2, height, width)).astype(np.float32) * 50.0
     plan = pallas_fft.FftPlan.for_shape(height, width)
+    with pltpu.force_tpu_interpret_mode():
+        mag = np.asarray(pallas_fft.magnitude2_scrambled(
+            jnp.asarray(x), plan))
+    got = _unscramble(mag, height, width)
+    want = np.abs(np.fft.rfft2(x.astype(np.float64), axes=(1, 2))) ** 2
+    assert snr_db(want, got) > 90
+
+
+def test_factored_column_twiddles_match_numpy(monkeypatch):
+    """The tall-strip factored twiddle route (W_H^{e*u} as the product
+    of W_M^{e*u1} and W_H^{e*u0} factor pages) forced onto a small
+    shape: same exactness class as the direct table.  On real shapes it
+    engages above _COL_FACTOR_H=2560 (8K), where the direct (2, H, 128)
+    table alone blew the col kernel's scoped-VMEM budget."""
+    monkeypatch.setattr(pallas_fft, "_COL_FACTOR_H", 64)
+    height, width = 120, 256   # fresh shape: for_shape is lru_cached
+    plan = pallas_fft.FftPlan.for_shape(height, width)
+    assert plan.col_factored and plan.twcol_b is not None
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((1, height, width)).astype(np.float32)
     with pltpu.force_tpu_interpret_mode():
         mag = np.asarray(pallas_fft.magnitude2_scrambled(
             jnp.asarray(x), plan))
