@@ -514,14 +514,31 @@ def _measure_blur_4k(use_pallas: bool, platform: str) -> dict:
     cfg = ReportConfig()
     h4, w4 = 2160, 3840
     batch = 1 if platform == "cpu" else 4
-    tables = PolarTables.for_shape(h4, w4, cfg)
 
-    @jax.jit
-    def chain(pgm):
-        dc = jnp.mean(pgm, axis=(1, 2), keepdims=True)
-        mag = jax.vmap(magnitude_fft_normalized)(pgm - dc)
-        return blur_profile_bins_batched(mag, tables, cfg.angle_partitions,
-                                         cfg.radius_partitions, use_pallas)
+    from photohive_dsp_tpu.ops import pallas_fft
+    if use_pallas and pallas_fft.use_pallas_fft(h4, w4):
+        # the route the full report takes at 4K: Pallas 2-D FFT fused
+        # with the log-normalize + local polar kernel
+        plan = pallas_fft.FftPlan.for_shape(h4, w4)
+        stab = pallas_fft.scrambled_polar_tables(h4, w4, cfg)
+
+        @jax.jit
+        def chain(pgm):
+            dc = jnp.mean(pgm, axis=(1, 2), keepdims=True)
+            return pallas_fft.blur_bins_scrambled_lognorm(
+                pgm - dc, plan, stab, cfg.angle_partitions,
+                cfg.radius_partitions)
+    else:
+        tables = PolarTables.for_shape(h4, w4, cfg)
+
+        @jax.jit
+        def chain(pgm):
+            dc = jnp.mean(pgm, axis=(1, 2), keepdims=True)
+            mag = jax.vmap(magnitude_fft_normalized)(pgm - dc)
+            return blur_profile_bins_batched(mag, tables,
+                                             cfg.angle_partitions,
+                                             cfg.radius_partitions,
+                                             use_pallas)
 
     rng = np.random.default_rng(1)
     frames = [jax.device_put(rng.random((batch, h4, w4), np.float32))

@@ -50,8 +50,11 @@ def _kernel_variant() -> str:
     sharp = os.environ.get("PHOTOHIVE_SHARP_PALLAS", "1")
     fft = os.environ.get("PHOTOHIVE_FFT_PALLAS", "1")
     u8k = os.environ.get("PHOTOHIVE_U8_KERNELS", "1")
+    i8s = os.environ.get("PHOTOHIVE_SUMS_I8", "0")
+    fpx = os.environ.get("PHOTOHIVE_SUMS_FLUSH_PX", "")
     return (f"{palette_kernel_variant()}|pallas={_want_pallas()}"
-            f"|pl={polar}|sh={sharp}|fft={fft}|u8={u8k}")
+            f"|pl={polar}|sh={sharp}|fft={fft}|u8={u8k}|i8s={i8s}"
+            f"|fpx={fpx}")
 
 
 def _pad_tail(x, pad: int):

@@ -121,8 +121,20 @@ def eligible(height: int, width: int) -> bool:
 
 
 def use_pallas_fft(height: int, width: int) -> bool:
-    return (os.environ.get("PHOTOHIVE_FFT_PALLAS", "1") == "1"
-            and eligible(height, width))
+    """Routing: eligible AND expected to win.  8K-class strips (H >
+    _COL_FACTOR_H) are kernel-correct (silicon parity 133 dB,
+    tools/tpu_parity_check) but measured SLOWER than XLA's rfft2 there
+    (16.9 vs 12.6 ms/image pipelined at 4320x7680, round 5): the M=540
+    unrolled tile FFT schedules poorly.  PHOTOHIVE_FFT_PALLAS_TALL=1
+    overrides for re-measurement."""
+    if os.environ.get("PHOTOHIVE_FFT_PALLAS", "1") != "1":
+        return False
+    if not eligible(height, width):
+        return False
+    if height > _COL_FACTOR_H and \
+            os.environ.get("PHOTOHIVE_FFT_PALLAS_TALL", "0") != "1":
+        return False
+    return True
 
 
 def _dif_ladder_twiddles(n: int):

@@ -105,24 +105,38 @@ def _onehot_bf16(iota_i32, ids_row):
 _SUMS_FLUSH_PX = 15360
 
 
+def _sums_flush_px() -> int:
+    """Trace-time flush threshold (pixels per merged sums GEMM).
+    PHOTOHIVE_SUMS_FLUSH_PX overrides for A/B; 7680 (two flushes per
+    1080p block) measured -2.9 ms/33 MP vs one merged flush in the
+    round-5 on-chip session (tools/sums_gemm_experiment split2 —
+    interleaving a GEMM mid-block lets it overlap the next chunks'
+    VPU work)."""
+    import os
+
+    return int(os.environ.get("PHOTOHIVE_SUMS_FLUSH_PX",
+                              str(_SUMS_FLUSH_PX)))
+
+
 class _MergedSums:
     """Accumulates (one_hot, vals) chunk pairs and flushes them through one
-    dot_general when _SUMS_FLUSH_PX pixels are queued.  Adds reassociate
+    dot_general when ``flush_px`` pixels are queued.  Adds reassociate
     relative to per-chunk GEMMs (counts stay exact — 0/1 products in an
     f32 accumulator; hue/s/v sums move by f32 rounding order only, like
     any shard split)."""
 
-    def __init__(self, acc):
+    def __init__(self, acc, flush_px: int = None):
         self.acc = acc
         self.ohs = []
         self.vls = []
         self.lanes = 0
+        self.flush_px = _SUMS_FLUSH_PX if flush_px is None else flush_px
 
     def add(self, oh, vals_bf16):
         self.ohs.append(oh)
         self.vls.append(vals_bf16)
         self.lanes += oh.shape[1]
-        if self.lanes >= _SUMS_FLUSH_PX:
+        if self.lanes >= self.flush_px:
             self.flush()
 
     def flush(self):
@@ -134,7 +148,7 @@ class _MergedSums:
             else jnp.concatenate(self.vls, axis=1)
         self.acc = self.acc + jax.lax.dot_general(
             oh_all, vl_all, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=self.acc.dtype)
         self.ohs, self.vls, self.lanes = [], [], 0
 
 
@@ -211,6 +225,58 @@ def cell_counts_s_from_rgb(rgb: jnp.ndarray, cfg):
     return counts, s_sum
 
 
+def _use_i8_sums() -> bool:
+    """PHOTOHIVE_SUMS_I8=1 routes the wide kernel's palette sums through
+    the int8 digit-plane GEMM (read at trace time; part of the batch
+    cache key via _kernel_variant)."""
+    import os
+
+    return os.environ.get("PHOTOHIVE_SUMS_I8", "0") == "1"
+
+
+def _digits4(x, scale: float):
+    """4 base-128 int8 digit planes of floor(x * scale), low digit
+    first.  floor(x*scale) is integral-exact for any f32 x with
+    x*scale's exponent >= mantissa width (x >= range/2^4 at the scales
+    used); smaller values truncate by < 1/scale absolute per pixel."""
+    xq = jnp.floor(x * jnp.float32(scale))
+    out = []
+    for _ in range(4):
+        hi = jnp.floor(xq * jnp.float32(1.0 / 128.0))
+        out.append((xq - hi * 128.0).astype(jnp.int8))
+        xq = hi
+    return out
+
+
+# Fixed-point scales: hue (range 360) * 2^19 < 2^28 = 4 digits; s/v
+# (range 1) * 2^27 < 2^28.  Values >= range/2^4 convert exactly; the
+# sub-2^-4 tail truncates by <= 1/scale abs per pixel (mean error
+# <= 2^-19/count — far below the palette's 1e-4 comparison bars).
+_HUE_SCALE = 2.0 ** 19
+_SV_SCALE = 2.0 ** 27
+
+
+def _recombine_digit_sums(out: jnp.ndarray) -> jnp.ndarray:
+    """(..., 16) int32 digit-sum kernel output -> (..., 4) f32 palette
+    sums [hue, s, v, count] (the _recombine_split_sums contract).
+
+    Column layout: [count | hue d0..d3 | s d0..d3 | v d0..d3 | pad x3].
+    The digit sums are int32-EXACT (the bf16 path rounds every f32
+    accumulate); only this Horner recombination rounds, at ~2^-24
+    relative of the final sum."""
+    o = out.astype(jnp.float32)
+
+    def horner(c0):
+        return ((o[..., c0 + 3] * 128.0 + o[..., c0 + 2]) * 128.0
+                + o[..., c0 + 1]) * 128.0 + o[..., c0]
+
+    return jnp.stack(
+        [horner(1) * jnp.float32(1.0 / _HUE_SCALE),
+         horner(5) * jnp.float32(1.0 / _SV_SCALE),
+         horner(9) * jnp.float32(1.0 / _SV_SCALE),
+         o[..., 0]], axis=-1)
+
+
 def _decode_lut_f32(lu: jnp.ndarray, q: int, num_cells: int):
     """Recombine gathered LUT sections (f32 GEMM output) -> candk, ch, cs,
     cv, each (q, chunk) f32.  Layout must match palette_candidate_lut."""
@@ -226,10 +292,19 @@ def _decode_lut_f32(lu: jnp.ndarray, q: int, num_cells: int):
 
 
 def _palette_rgb_kernel_bf16(rgb_ref, lut_ref, out_ref, *, num_cells: int,
-                             q_pad: int, cfg, wc: int):
+                             q_pad: int, cfg, wc: int,
+                             sums_i8: bool = False,
+                             flush_px: int = None):
     """Per-pixel parent resolution + palette sums; see _palette_rgb_kernel.
     Distance/argmin/tie math is f32 and op-identical to the XLA pixel pass
-    (quantize.palette_pixel_sums), so ties break bit-identically."""
+    (quantize.palette_pixel_sums), so ties break bit-identically.
+
+    ``sums_i8``: the sums contraction runs as int8 digit planes x int8
+    one-hot with an int32 accumulator (counts exact, digit sums exact;
+    see _recombine_digit_sums) — the int8 MXU streams K ~1.7x faster
+    than bf16 (tools/nfill_probe) and the sums GEMM is the wide
+    kernel's dominant marginal cost (tools/kernel_cost_probe r5:
+    +10.4 ms of a ~13 ms 33-MP kernel)."""
     step = pl.program_id(1)
     c = num_cells
     q = q_pad
@@ -241,10 +316,16 @@ def _palette_rgb_kernel_bf16(rgb_ref, lut_ref, out_ref, *, num_cells: int,
     lut = lut_ref[0]                                      # (ns*q, C) bf16
 
     h8, s8, v8, c8 = _hsv_cells_block(rgb_ref, cfg)
-    sp = _split3(s8)
-    vp = _split3(v8)
+    if sums_i8:
+        sd4 = [d for d in _digits4(s8, _SV_SCALE)]
+        vd4 = [d for d in _digits4(v8, _SV_SCALE)]
+    else:
+        sp = _split3(s8)
+        vp = _split3(v8)
 
-    ms = _MergedSums(jnp.zeros((c, 16), jnp.float32))
+    ms = _MergedSums(jnp.zeros((c, 16),
+                               jnp.int32 if sums_i8 else jnp.float32),
+                     flush_px=flush_px)
     for j in range(rows):
         for k0 in range(w // wc):
             sl = slice(k0 * wc, (k0 + 1) * wc)
@@ -270,17 +351,29 @@ def _palette_rgb_kernel_bf16(rgb_ref, lut_ref, out_ref, *, num_cells: int,
             chosen = jnp.logical_and(iskmin, candk == kstar)
             off = jnp.sum(jnp.where(chosen, jnp.float32(180.0) - ch, 0.0),
                           axis=0, keepdims=True)
-            oh_k = (iota_cf == kstar).astype(jnp.bfloat16)  # f32 compare
             temp = hrow + off
             temp = jnp.where(temp > 360.0, temp - 360.0,
                              jnp.where(temp < 0.0, temp + 360.0, temp))
-            t1, t2, t3 = _split3(temp)
-            vals = jnp.concatenate(
-                [ones, t1, t2, t3,
-                 sp[0][j:j + 1, sl], sp[1][j:j + 1, sl], sp[2][j:j + 1, sl],
-                 vp[0][j:j + 1, sl], vp[1][j:j + 1, sl], vp[2][j:j + 1, sl],
-                 jnp.zeros((6, wc), jnp.float32)], axis=0)  # (16, wc)
-            ms.add(oh_k, vals.astype(jnp.bfloat16))
+            if sums_i8:
+                oh_k = (iota_cf == kstar).astype(jnp.int8)
+                hd4 = _digits4(temp, _HUE_SCALE)
+                vals = jnp.concatenate(
+                    [jnp.ones((1, wc), jnp.int8)] + hd4
+                    + [dd[j:j + 1, sl] for dd in sd4]
+                    + [dd[j:j + 1, sl] for dd in vd4]
+                    + [jnp.zeros((3, wc), jnp.int8)], axis=0)  # (16, wc)
+                ms.add(oh_k, vals)
+            else:
+                oh_k = (iota_cf == kstar).astype(jnp.bfloat16)
+                t1, t2, t3 = _split3(temp)
+                vals = jnp.concatenate(
+                    [ones, t1, t2, t3,
+                     sp[0][j:j + 1, sl], sp[1][j:j + 1, sl],
+                     sp[2][j:j + 1, sl],
+                     vp[0][j:j + 1, sl], vp[1][j:j + 1, sl],
+                     vp[2][j:j + 1, sl],
+                     jnp.zeros((6, wc), jnp.float32)], axis=0)  # (16, wc)
+                ms.add(oh_k, vals.astype(jnp.bfloat16))
     ms.flush()
     acc = ms.acc
 
@@ -301,9 +394,11 @@ def palette_sums_by_k_rgb(rgb: jnp.ndarray, luts: jnp.ndarray,
     b, _, hh, ww = rgb.shape
     c = num_cells
     wc = _lane_chunk(ww, 1024 if q_pad > 8 else 2048)
+    sums_i8 = _use_i8_sums()
     out = pl.pallas_call(
         functools.partial(_palette_rgb_kernel_bf16, num_cells=c,
-                          q_pad=q_pad, cfg=cfg, wc=wc),
+                          q_pad=q_pad, cfg=cfg, wc=wc, sums_i8=sums_i8,
+                          flush_px=_sums_flush_px()),
         grid=(b, hh // _ROWS),
         in_specs=[
             pl.BlockSpec((1, 3, _ROWS, ww), lambda bb, i: (bb, 0, i, 0),
@@ -314,9 +409,11 @@ def palette_sums_by_k_rgb(rgb: jnp.ndarray, luts: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((1, c, 16), lambda bb, i: (bb, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, c, 16), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, c, 16), jnp.int32 if sums_i8 else jnp.float32),
     )(rgb, luts.astype(jnp.bfloat16))
-    return _recombine_split_sums(out)
+    return (_recombine_digit_sums(out) if sums_i8
+            else _recombine_split_sums(out))
 
 
 def _palette_rgb_q1_kernel_bf16(rgb_ref, lut_ref, out_ref, *,
@@ -334,7 +431,8 @@ def _palette_rgb_q1_kernel_bf16(rgb_ref, lut_ref, out_ref, *,
     sp = _split3(s8)
     vp = _split3(v8)
 
-    ms = _MergedSums(jnp.zeros((c, 16), jnp.float32))
+    ms = _MergedSums(jnp.zeros((c, 16), jnp.float32),
+                     flush_px=_sums_flush_px())
     for j in range(rows):
         for k0 in range(w // wc):
             sl = slice(k0 * wc, (k0 + 1) * wc)

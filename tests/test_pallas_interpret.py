@@ -423,6 +423,38 @@ def test_bf16_variant_kernels_match_candidate(cfg, tables):
         close(q10, q11)
 
 
+def test_i8_digit_sums_match_bf16(cfg, tables, monkeypatch):
+    """PHOTOHIVE_SUMS_I8: int8 digit-plane palette sums vs the bf16
+    split-GEMM default.  Counts must be EXACT (int8 ones x int8 one-hot
+    in int32); hue/s/v sums agree to the fixed-point truncation bound
+    (<= 2^-19/2^-27 abs per pixel) plus the f32 Horner recombination —
+    the digit accumulation itself is int32-exact, tighter than the
+    bf16 path's f32 adds.  On-chip validation: tools/tpu_parity_check."""
+    from photohive_dsp_tpu.ops import pallas_kernels_bf16 as pkv
+
+    rng = np.random.default_rng(23)
+    rgb = jnp.asarray(rng.random((2, 3, 16, 256)), jnp.float32)
+    c = cfg.num_cells
+    with pltpu.force_tpu_interpret_mode():
+        c0, _ = pkv.cell_counts_s_from_rgb(rgb, cfg)
+        sal = jax.vmap(lambda x: quantize.saliency_f32(
+            x, tables.s_v_f32, cfg))(c0)
+        order = quantize.saliency_argsort(sal, True)
+        assign = jax.vmap(
+            lambda cnt, o: quantize.parent_assignment_from_order(
+                cnt, o, 16 * 256, cfg, tables))(c0, order)
+        luts = jax.vmap(lambda a: pk.palette_candidate_lut(
+            a, tables, c, 8))(assign)
+        monkeypatch.delenv("PHOTOHIVE_SUMS_I8", raising=False)
+        ref = pkv.palette_sums_by_k_rgb(rgb, luts, c, 8, cfg)
+        monkeypatch.setenv("PHOTOHIVE_SUMS_I8", "1")
+        got = pkv.palette_sums_by_k_rgb(rgb, luts, c, 8, cfg)
+    assert np.array_equal(np.asarray(ref[..., 3]),
+                          np.asarray(got[..., 3]))  # counts exact
+    a, b = np.asarray(ref), np.asarray(got)
+    assert np.abs(a - b).max() <= 1e-6 * max(1.0, np.abs(a).max())
+
+
 def test_bf16_variant_is_default_and_routes_rgb(cfg, monkeypatch):
     monkeypatch.delenv("PHOTOHIVE_PALETTE_KERNEL", raising=False)
     assert quantize.palette_kernel_variant() == "bf16"

@@ -6,6 +6,7 @@ between builds.  Blur bins are compared across variants at 1e-4 relative
 (the two FFTs round differently; palette ids/pcts must match exactly).
 
 Usage: python tools/fft_ab.py [--batch N] [on off]
+       python tools/fft_ab.py coverage    (host-only eligibility census)
 """
 
 import os
@@ -22,7 +23,36 @@ if os.environ.get("JAX_PLATFORMS") == "cpu":
     jax.config.update("jax_platforms", "cpu")
 
 
+def coverage():
+    """Fraction of corpus megapixels served by the Pallas FFT
+    (pallas_fft.eligible) across the project's benchmark corpora —
+    VERDICT r4 #3's ">=80% of mixed-res corpus megapixels" criterion.
+    Host-only: eligibility is a pure shape predicate."""
+    from photohive_dsp_tpu.ops.pallas_fft import eligible
+
+    corpora = {
+        # bench.py _measure_mixed_res (config #3 driver corpus)
+        "bench_mixed_res": [(720, 1280), (1080, 1920), (480, 640)] * 85,
+        # scaling_bench.make_corpus (configs #4/#5 synthetic corpus)
+        "scaling_corpus": [(350, 350), (360, 480), (384, 512)] * 100,
+        # headline + large-shape configs
+        "headline_shapes": [(1080, 1920), (2160, 3840), (4320, 7680),
+                            (720, 1280)],
+    }
+    for name, shapes in corpora.items():
+        mp = sum(h * w for h, w in shapes) / 1e6
+        mp_ok = sum(h * w for h, w in shapes if eligible(h, w)) / 1e6
+        missing = sorted({(h, w) for h, w in shapes
+                          if not eligible(h, w)})
+        print(f"{name:<18} {mp_ok:8.1f}/{mp:8.1f} MP eligible "
+              f"({mp_ok / mp * 100:5.1f}%)"
+              + (f"  ineligible: {missing}" if missing else ""))
+
+
 def main():
+    if "coverage" in sys.argv[1:]:
+        coverage()
+        return
     batch = 16
     for a in sys.argv[1:]:
         if a.startswith("--batch"):

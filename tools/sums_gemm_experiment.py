@@ -134,7 +134,7 @@ def _kernel(rgb_ref, lut_ref, out_ref, *, num_cells, q_pad, cfg, wc, mode):
                         (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32)
                     ohs, vls = [], []
-            elif mode == "i8fix":
+            elif mode in ("i8fix", "i8split2"):
                 # int8 digit-plane sums: one-hot int8 x 4-digit base-128
                 # fixed-point vals, int32 accumulator.  Per-product
                 # exact, accumulation int32-EXACT (the bf16 form rounds
@@ -152,23 +152,27 @@ def _kernel(rgb_ref, lut_ref, out_ref, *, num_cells, q_pad, cfg, wc, mode):
                     + [jnp.zeros((3, wc), jnp.int8)], axis=0)  # (16, wc)
                 ohs.append(oh_i8)
                 vls.append(vals_i8)
-                if j == rows - 1 and k0 == w // wc - 1:
+                flush = (j == rows - 1 and k0 == w // wc - 1)
+                if mode == "i8split2":
+                    flush = flush or len(ohs) == (rows * (w // wc)) // 2
+                if flush:
                     acc = acc + jax.lax.dot_general(
                         jnp.concatenate(ohs, axis=1),
                         jnp.concatenate(vls, axis=1),
                         (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.int32)
                     ohs, vls = [], []
-            elif mode in ("row", "block", "split2"):
+            elif mode in ("row", "block", "split2", "split4"):
                 ohs.append(oh_k)
                 vls.append(vals.astype(jnp.bfloat16))
-                flush = (len(ohs) == w // wc) if mode == "row" else \
-                    (len(ohs) == (rows * (w // wc)) // 2) \
-                    if mode == "split2" else \
-                    (j == rows - 1 and k0 == w // wc - 1)
-                if mode == "split2" and j == rows - 1 \
-                        and k0 == w // wc - 1 and ohs:
-                    flush = True
+                nchunks = rows * (w // wc)
+                flush = (j == rows - 1 and k0 == w // wc - 1)
+                if mode == "row":
+                    flush = len(ohs) == w // wc
+                elif mode == "split2":
+                    flush = flush or len(ohs) == nchunks // 2
+                elif mode == "split4":
+                    flush = flush or len(ohs) >= -(-nchunks // 4)
                 if flush:
                     oh_all = jnp.concatenate(ohs, axis=1)
                     vl_all = jnp.concatenate(vls, axis=1)

@@ -324,6 +324,30 @@ def main() -> int:
     fft_rel = (np.linalg.norm(got - magx) / np.linalg.norm(magx))
     check(f"pallas fft magnitude close ({fft_rel:.1e})", fft_rel < 1e-5)
 
+    # Widened-eligibility FFT shapes (round 5): Q>32 group-FFT row
+    # combine, 7/13 column radices, and the 8K factored-twiddle path —
+    # each vs XLA rfft2 magnitude on-device.  8K runs at batch 1 (the
+    # XLA reference lowering alone is ~2 GB of HBM there).
+    for (fh2, fw2, nb) in ((40, 4608, 2), (728, 384, 2), (4320, 7680, 1)):
+        if not pallas_fft.eligible(fh2, fw2):
+            check(f"pallas fft {fh2}x{fw2} eligible", False)
+            continue
+        plan2 = pallas_fft.FftPlan.for_shape(fh2, fw2)
+        x2 = jnp.asarray(rng.standard_normal((nb, fh2, fw2)) * 40,
+                         jnp.float32)
+        magk2 = np.asarray(jax.jit(
+            lambda x: pallas_fft.magnitude2_scrambled(x, plan2))(x2))
+        magx2 = np.asarray(jax.jit(jax.vmap(magnitude_fft))(x2))
+        tr2, tc2 = pallas_fft.scramble_maps(fh2, fw2)
+        flat2 = magk2.transpose(0, 2, 1, 3).reshape(nb, fh2, -1)
+        keep2 = tc2 <= fw2 // 2
+        got2 = flat2[:, np.argsort(tr2)][:, :, keep2][
+            :, :, np.argsort(tc2[keep2])]
+        rel2 = np.linalg.norm(got2 - magx2) / np.linalg.norm(magx2)
+        check(f"pallas fft {fh2}x{fw2} magnitude close ({rel2:.1e})"
+              f"{' [factored twiddles]' if plan2.col_factored else ''}",
+              rel2 < 1e-5)
+
     print("ALL OK" if ok else "FAILURES PRESENT")
     return 0 if ok else 1
 
