@@ -19,8 +19,13 @@ Produces, in order:
 
 Writes a JSON summary to tools/corpus100k_results.json and prints it.
 
-Usage: python tools/corpus100k.py [n]      (default 100000)
+Usage: python tools/corpus100k.py [n] [existing_corpus_dir]
        PHOTOHIVE_100K_SKIP_T1=1 to skip the T1 arm (eff unmeasured)
+       PHOTOHIVE_100K_SKIP_RESUME=1 to skip the kill+resume arm
+
+NOTE: run this ALONE on the host — pytest or compile jobs sharing the
+4 cores slow the pinned workers several-fold and corrupt the T1/T2
+efficiency comparison (learned the hard way in round 5).
 """
 
 import json
@@ -89,12 +94,19 @@ def main():
     from scaling_bench import make_corpus
 
     workdir = tempfile.mkdtemp(prefix="ph_100k_")
-    corpus_dir = os.path.join(workdir, "corpus")
     print(f"workdir {workdir}", flush=True)
-    t0 = time.perf_counter()
-    make_corpus(corpus_dir, n)
-    print(f"generated {n} PNGs in {time.perf_counter() - t0:.0f}s",
-          flush=True)
+    if len(sys.argv) > 2:
+        corpus_dir = sys.argv[2]
+        import glob as _glob
+        found = len(_glob.glob(os.path.join(corpus_dir, "*.png")))
+        assert found == n, f"existing corpus has {found} != {n}"
+        print(f"reusing corpus {corpus_dir}", flush=True)
+    else:
+        corpus_dir = os.path.join(workdir, "corpus")
+        t0 = time.perf_counter()
+        make_corpus(corpus_dir, n)
+        print(f"generated {n} PNGs in {time.perf_counter() - t0:.0f}s",
+              flush=True)
 
     wpath = os.path.join(workdir, "worker.py")
     with open(wpath, "w") as f:
@@ -195,6 +207,13 @@ def main():
 
     # --- kill-and-resume at scale: fresh out dir, kill worker 0 mid-run,
     # restart it, verify exactly-once on the merged result
+    if os.environ.get("PHOTOHIVE_100K_SKIP_RESUME"):
+        with open(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "corpus100k_results.json"), "w") as f:
+            json.dump(results, f, indent=2)
+        print(json.dumps(results), flush=True)
+        return
     out3 = os.path.join(workdir, "out3")
     coord = None  # uncoordinated halves: resume must not depend on init
     procs = [spawn(cores, ["2", str(pid), out3])
