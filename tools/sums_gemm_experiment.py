@@ -71,7 +71,7 @@ def _kernel(rgb_ref, lut_ref, out_ref, *, num_cells, q_pad, cfg, wc, mode):
     vp = _split3(v8)
 
     n_out = {"block32": 32}.get(mode, 16)
-    if mode == "i8fix":
+    if mode in ("i8fix", "i8split2"):
         acc = jnp.zeros((c, 16), jnp.int32)
     elif mode in ("tpose", "tpose_block"):
         acc = jnp.zeros((16, c), jnp.float32)
@@ -221,7 +221,7 @@ def _summarize(out, mode):
     """(B, C, n_out) raw kernel output -> (B, C, 4) [count, hue, s, v]
     sums, mode-appropriately recombined, for cross-mode comparison."""
     out = np.asarray(out, np.float64)
-    if mode == "i8fix":
+    if mode in ("i8fix", "i8split2"):
         def dig(c0):
             return (out[..., c0] + out[..., c0 + 1] * 128.0
                     + out[..., c0 + 2] * 128.0 ** 2
@@ -236,13 +236,16 @@ def run(rgb, luts, c, q, cfg, mode):
     b, _, hh, ww = rgb.shape
     wc = _lane_chunk(ww)
     n_out = {"block32": 32}.get(mode, 16)
-    out_dt = jnp.int32 if mode == "i8fix" else jnp.float32
+    out_dt = jnp.int32 if mode in ("i8fix", "i8split2") else jnp.float32
+    # Block height (grid-step rows): EXP_ROWS env overrides the prod 8 —
+    # "fewer larger blocks" probes per-step overhead vs VMEM pressure.
+    rows = int(os.environ.get("EXP_ROWS", str(_ROWS)))
     fn = jax.jit(lambda r, l: pl.pallas_call(
         functools.partial(_kernel, num_cells=c, q_pad=q, cfg=cfg, wc=wc,
                           mode=mode),
-        grid=(b, hh // _ROWS),
+        grid=(b, hh // rows),
         in_specs=[
-            pl.BlockSpec((1, 3, _ROWS, ww), lambda bb, i: (bb, 0, i, 0),
+            pl.BlockSpec((1, 3, rows, ww), lambda bb, i: (bb, 0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, lut_sections(c) * q, c),
                          lambda bb, i: (bb, 0, 0),
