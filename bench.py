@@ -297,6 +297,20 @@ def measure(deadline: float) -> dict:
             result["marginal_mps"] = round(marg, 1)
             print(f"marginal (batch {half}->{batch}): {marg:.1f} MP/s",
                   file=sys.stderr)
+        # Same slope on photo-like content (the q=1 palette tier the
+        # reference's own published benchmark exercised): the pipelined
+        # structured number swings with the tunnel; this is the chip's
+        # rate.  Reuses the compiled executables and pframe from above.
+        if "pframe" in dir():
+            ts_full = best_of(fn, pframe, dboxes, dvalid)
+            ts_half = best_of(fnh, pframe[:half], dboxes[:half],
+                              dvalid[:half])
+            if ts_full > ts_half:
+                smarg = (batch - half) * HEIGHT * WIDTH / 1e6 \
+                    / (ts_full - ts_half)
+                result["marginal_structured_mps"] = round(smarg, 1)
+                print(f"marginal structured: {smarg:.1f} MP/s",
+                      file=sys.stderr)
     except Exception as exc:  # noqa: BLE001 — never lose the number
         print(f"marginal metric skipped: {type(exc).__name__}: {exc}",
               file=sys.stderr)
