@@ -468,11 +468,11 @@ def _measure_mixed_res_device(cfg, use_pallas: bool) -> dict:
 
     shapes = [(720, 1280), (1080, 1920), (480, 640)]
     rng = np.random.default_rng(5)
-    boxes = np.zeros((16, 10, 4), np.int32)
+    boxes = np.zeros((32, 10, 4), np.int32)
     boxes[:, 0] = (50, 300, 60, 400)
-    valid = np.zeros((16, 10), bool)
+    valid = np.zeros((32, 10), bool)
     valid[:, 0] = True
-    dboxes, dvalid = jax.device_put(boxes), jax.device_put(valid)
+    dboxes_a, dvalid_a = jax.device_put(boxes), jax.device_put(valid)
 
     def best_of(f, fr, bx, vl, n=6):
         best = float("inf")
@@ -487,7 +487,12 @@ def _measure_mixed_res_device(cfg, use_pallas: bool) -> dict:
     t_mixed_per_img = 0.0
     mp_per_img = 0.0
     for h, w in shapes:
-        full, half = 16, 8
+        # small buckets need a bigger batch for the slope to clear the
+        # ~ms-scale dispatch jitter (480x640 at 16/8 was intermittently
+        # unresolvable)
+        full = 16 if h * w > 1.5e6 else 32
+        half = full // 2
+        dboxes, dvalid = dboxes_a[:full], dvalid_a[:full]
         fn = build_fn(cfg, h, w, use_pallas)
         frame = jax.device_put(rng.integers(0, 256, (full, h, w, 3),
                                             dtype=np.uint8))
