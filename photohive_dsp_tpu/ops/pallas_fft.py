@@ -322,6 +322,19 @@ def scramble_maps(height: int, width: int):
     return true_row, true_col
 
 
+@functools.lru_cache(maxsize=32)
+def _natural_polar_k(height: int, width: int, a_bins: int,
+                     r_bins: int) -> int:
+    """Natural-row-major local polar dictionary width for one geometry
+    (the baseline the scrambled-K warning compares against)."""
+    from .geometry import polar_chunk_tables, polar_geometry
+
+    geom = polar_geometry(height, width, a_bins, r_bins)
+    dict_nat, _ = polar_chunk_tables(
+        np.asarray(geom.bin_ids).reshape(-1), a_bins * r_bins)
+    return dict_nat.shape[1]
+
+
 def scrambled_polar_tables(height: int, width: int, cfg):
     """PolarTables whose flat bin ids consume the scrambled magnitude
     (B, S, H, 128) layout directly — the permutation lives here, on the
@@ -346,9 +359,12 @@ def scrambled_polar_tables(height: int, width: int, cfg):
     # The local kernel's cost scales with K (the per-chunk dictionary
     # width); polar_chunk_tables' ~64-bins-per-512-chunk premise assumes
     # row-major locality, which the scramble perturbs.  Make a blowup at a
-    # new shape visible instead of a silent slowdown (ADVICE r4).
-    dict_nat, _ = polar_chunk_tables(ids_true.reshape(-1), num_bins)
-    k_scr, k_nat = dict_ids.shape[1], dict_nat.shape[1]
+    # new shape visible instead of a silent slowdown (ADVICE r4).  The
+    # natural-order K is cached per geometry — recomputing it on every
+    # (uncached) scrambled_polar_tables call doubled table-build time.
+    k_scr = dict_ids.shape[1]
+    k_nat = _natural_polar_k(height, width, cfg.angle_partitions,
+                             cfg.radius_partitions)
     if k_scr > 2 * k_nat:
         import warnings
         warnings.warn(

@@ -394,7 +394,11 @@ def palette_sums_by_k_rgb(rgb: jnp.ndarray, luts: jnp.ndarray,
     b, _, hh, ww = rgb.shape
     c = num_cells
     wc = _lane_chunk(ww, 1024 if q_pad > 8 else 2048)
-    sums_i8 = _use_i8_sums()
+    # int32 digit-sum headroom: a digit column accumulates up to
+    # 127 * pixels per cell; above ~2^31/127 ~= 16.9 M pixels a
+    # single-cell image would wrap the accumulator, so the i8 variant
+    # only engages below that bound (8K frames stay on bf16).
+    sums_i8 = _use_i8_sums() and hh * ww <= (1 << 31) // 127
     out = pl.pallas_call(
         functools.partial(_palette_rgb_kernel_bf16, num_cells=c,
                           q_pad=q_pad, cfg=cfg, wc=wc, sums_i8=sums_i8,

@@ -220,10 +220,30 @@ def main():
              for pid, cores in ((0, "0,1"), (1, "2,3"))]
     kill_after = max(60.0, t2 * 0.25)
     time.sleep(kill_after)
+    if procs[0].poll() is not None:
+        # worker already finished: a SIGKILL now would make the
+        # "resume" vacuous — report that honestly instead of recording
+        # a resilience check that never ran (self-review r5)
+        for p in procs:
+            p.communicate(timeout=14400)
+        results["kill_resume_exactly_once"] = "SKIPPED (run finished " \
+            "before kill point; use a larger n)"
+        with open(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "corpus100k_results.json"), "w") as f:
+            json.dump(results, f, indent=2)
+        print(json.dumps(results), flush=True)
+        return
     os.kill(procs[0].pid, signal.SIGKILL)
     procs[0].wait()
-    print(f"killed worker 0 after {kill_after:.0f}s; restarting",
-          flush=True)
+    n_at_kill = sum(1 for _ in open(
+        os.path.join(out3, "reports.0.jsonl"))) \
+        if os.path.exists(os.path.join(out3, "reports.0.jsonl")) else 0
+    assert n_at_kill < n // 2, \
+        f"worker 0 already emitted its full shard ({n_at_kill}) at the " \
+        "kill point — the resume check would be vacuous"
+    print(f"killed worker 0 after {kill_after:.0f}s at {n_at_kill} "
+          "lines; restarting", flush=True)
     t0 = time.perf_counter()
     procs[0] = spawn("0,1", ["2", "0", out3])
     wait_all(procs)

@@ -29,7 +29,12 @@ def main():
     argv = sys.argv[1:]
     for i, a in enumerate(argv):
         if a.startswith("--batch"):
-            batch = int(a.split("=")[1]) if "=" in a else int(argv[i + 1])
+            if "=" in a:
+                batch = int(a.split("=")[1])
+            elif i + 1 < len(argv) and argv[i + 1].isdigit():
+                batch = int(argv[i + 1])
+            else:
+                sys.exit("usage: --batch N or --batch=N")
     height, width = 1080, 1920
 
     from photohive_dsp_tpu import ReportConfig

@@ -24,11 +24,13 @@ if os.environ.get("JAX_PLATFORMS") == "cpu":
 
 
 def coverage():
-    """Fraction of corpus megapixels served by the Pallas FFT
-    (pallas_fft.eligible) across the project's benchmark corpora —
-    VERDICT r4 #3's ">=80% of mixed-res corpus megapixels" criterion.
-    Host-only: eligibility is a pure shape predicate."""
-    from photohive_dsp_tpu.ops.pallas_fft import eligible
+    """Fraction of corpus megapixels the Pallas FFT can serve
+    (eligible) AND actually serves under default routing
+    (use_pallas_fft — tall strips route to XLA by measured perf)
+    across the project's benchmark corpora — VERDICT r4 #3's ">=80% of
+    mixed-res corpus megapixels" criterion.  Host-only: both are pure
+    shape predicates."""
+    from photohive_dsp_tpu.ops.pallas_fft import eligible, use_pallas_fft
 
     corpora = {
         # bench.py _measure_mixed_res (config #3 driver corpus)
@@ -41,11 +43,14 @@ def coverage():
     }
     for name, shapes in corpora.items():
         mp = sum(h * w for h, w in shapes) / 1e6
-        mp_ok = sum(h * w for h, w in shapes if eligible(h, w)) / 1e6
+        mp_el = sum(h * w for h, w in shapes if eligible(h, w)) / 1e6
+        mp_rt = sum(h * w for h, w in shapes
+                    if use_pallas_fft(h, w)) / 1e6
         missing = sorted({(h, w) for h, w in shapes
                           if not eligible(h, w)})
-        print(f"{name:<18} {mp_ok:8.1f}/{mp:8.1f} MP eligible "
-              f"({mp_ok / mp * 100:5.1f}%)"
+        print(f"{name:<18} eligible {mp_el:7.1f}/{mp:7.1f} MP "
+              f"({mp_el / mp * 100:5.1f}%)  routed "
+              f"{mp_rt / mp * 100:5.1f}%"
               + (f"  ineligible: {missing}" if missing else ""))
 
 

@@ -42,17 +42,10 @@ from photohive_dsp_tpu.ops.quantize import (OctreeTables, saliency_f32,
                                             parent_assignment_from_order)
 
 
-def _digits4(x, scale):
-    """4 base-128 digit planes of floor(x * scale), low digit first.
-    Exact for x*scale integral (any f32 x >= range/2^4); truncation
-    below is bounded by 1/scale absolute per pixel."""
-    xq = jnp.floor(x * jnp.float32(scale))
-    out = []
-    for _ in range(4):
-        hi = jnp.floor(xq * jnp.float32(1.0 / 128.0))
-        out.append((xq - hi * 128.0).astype(jnp.int8))
-        xq = hi
-    return out
+# the library's digit-plane encoder/scales: the experiment must measure
+# the SAME encoding production ships (self-review r5)
+from photohive_dsp_tpu.ops.pallas_kernels_bf16 import (_HUE_SCALE,  # noqa: E402
+                                                       _SV_SCALE, _digits4)
 
 
 def _kernel(rgb_ref, lut_ref, out_ref, *, num_cells, q_pad, cfg, wc, mode):
@@ -141,9 +134,9 @@ def _kernel(rgb_ref, lut_ref, out_ref, *, num_cells, q_pad, cfg, wc, mode):
                 # every f32 add); only sub-2^-4-of-range values truncate
                 # (<= 1/scale abs per px).  int8 MXU measured 1.7x bf16.
                 oh_i8 = (iota_cf == kstar).astype(jnp.int8)
-                hd4 = _digits4(temp, 2.0 ** 19)
-                sd4 = _digits4(s8[j:j + 1, sl], 2.0 ** 27)
-                vd4 = _digits4(v8[j:j + 1, sl], 2.0 ** 27)
+                hd4 = _digits4(temp, _HUE_SCALE)
+                sd4 = _digits4(s8[j:j + 1, sl], _SV_SCALE)
+                vd4 = _digits4(v8[j:j + 1, sl], _SV_SCALE)
                 vals_i8 = jnp.concatenate(
                     [jnp.ones((1, wc), jnp.int8)]
                     + [d.reshape(1, wc) for d in hd4]
@@ -226,8 +219,8 @@ def _summarize(out, mode):
             return (out[..., c0] + out[..., c0 + 1] * 128.0
                     + out[..., c0 + 2] * 128.0 ** 2
                     + out[..., c0 + 3] * 128.0 ** 3)
-        return np.stack([out[..., 0], dig(1) / 2.0 ** 19,
-                         dig(5) / 2.0 ** 27, dig(9) / 2.0 ** 27], -1)
+        return np.stack([out[..., 0], dig(1) / _HUE_SCALE,
+                         dig(5) / _SV_SCALE, dig(9) / _SV_SCALE], -1)
     return np.stack([out[..., 0], out[..., 1:4].sum(-1),
                      out[..., 4:7].sum(-1), out[..., 7:10].sum(-1)], -1)
 

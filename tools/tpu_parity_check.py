@@ -110,6 +110,30 @@ def main() -> int:
         np.asarray(palr.percentages) - np.asarray(palx.percentages)
     ).max() == 0.0))
 
+    # PHOTOHIVE_SUMS_I8 digit-plane sums variant on silicon: interpret
+    # mode cannot see a Mosaic-only miscompile of the f32->int8 casts or
+    # the int8 MXU contraction, so the flag's ids/pct exactness and hsv
+    # closeness are gated here (self-review r5).
+    old_i8 = os.environ.get("PHOTOHIVE_SUMS_I8")
+    try:
+        os.environ["PHOTOHIVE_SUMS_I8"] = "1"
+        pali, _ = jax.jit(
+            lambda x: quantize.color_palette_batched_from_rgb(
+                x, cfg, tables))(rgbq)
+        check("i8 digit-sums palette ids exact", bool(
+            (np.asarray(pali.parent_ids)
+             == np.asarray(palr.parent_ids)).all()))
+        check("i8 digit-sums palette pct exact", bool(np.abs(
+            np.asarray(pali.percentages)
+            - np.asarray(palr.percentages)).max() == 0.0))
+        dh = np.abs(np.asarray(pali.hsv) - np.asarray(palr.hsv)).max()
+        check(f"i8 digit-sums palette hsv close ({dh:.1e})", dh < 1e-3)
+    finally:
+        if old_i8 is None:
+            os.environ.pop("PHOTOHIVE_SUMS_I8", None)
+        else:
+            os.environ["PHOTOHIVE_SUMS_I8"] = old_i8
+
     # polar bins
     h_dim, w_dim = 480, 640
     geom = polar_geometry(h_dim, w_dim, cfg.angle_partitions,
